@@ -1,0 +1,26 @@
+from .tensor_map import LANE_POINTS, TensorMap, build_tensor_map
+from .compiler import compile_town, compile_town_from_npz, load_npz
+from .reference_lines import extract_reference_lines
+from .routing import (
+    nearest_lane_host,
+    route_road_lane_ids,
+    route_waypoints,
+    trace_route,
+)
+from .synthetic import make_grid_town, make_straight_town
+
+__all__ = [
+    "LANE_POINTS",
+    "TensorMap",
+    "build_tensor_map",
+    "compile_town",
+    "compile_town_from_npz",
+    "load_npz",
+    "extract_reference_lines",
+    "trace_route",
+    "route_waypoints",
+    "nearest_lane_host",
+    "route_road_lane_ids",
+    "make_grid_town",
+    "make_straight_town",
+]

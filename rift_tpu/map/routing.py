@@ -1,0 +1,111 @@
+"""Global route planning over the lane graph.
+
+Replaces the reference's networkx-A* GlobalRoutePlanner
+(rift/scenario/tools/global_route_planner.py:20-111): we run BFS/Dijkstra on
+the host over the TensorMap's successor/adjacency arrays at scenario reset
+(routes are episode-static), producing dense route tensors the device consumes.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from .tensor_map import TensorMap
+
+LANE_CHANGE_COST = 15.0  # discourage but allow lane changes, like the
+# reference's topology graph which includes adjacent-lane edges
+
+
+def _host_arrays(tmap: TensorMap):
+    return (
+        np.asarray(tmap.successors),
+        np.asarray(tmap.left_adj),
+        np.asarray(tmap.right_adj),
+        np.asarray(tmap.length),
+        np.asarray(tmap.valid),
+    )
+
+
+def trace_route(tmap: TensorMap, start_lane: int, goal_lane: int):
+    """Dijkstra over the lane graph. Returns (lane_indices list, total_dist)
+    or (None, inf) if unreachable. Host-side (reset-time only)."""
+    succ, left, right, length, valid = _host_arrays(tmap)
+    L = len(length)
+    dist = np.full(L, np.inf)
+    prev = np.full(L, -1, np.int64)
+    dist[start_lane] = 0.0
+    pq = [(0.0, int(start_lane))]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist[u]:
+            continue
+        if u == goal_lane:
+            break
+        edges = [(int(v), float(length[u])) for v in succ[u] if v >= 0]
+        for v in (left[u], right[u]):
+            if v >= 0:
+                edges.append((int(v), LANE_CHANGE_COST))
+        for v, w in edges:
+            if not valid[v]:
+                continue
+            nd = d + w
+            if nd < dist[v]:
+                dist[v] = nd
+                prev[v] = u
+                heapq.heappush(pq, (nd, v))
+    if not np.isfinite(dist[goal_lane]):
+        return None, np.inf
+    path = [int(goal_lane)]
+    while path[-1] != start_lane:
+        path.append(int(prev[path[-1]]))
+    return path[::-1], float(dist[goal_lane])
+
+
+def route_waypoints(tmap: TensorMap, lane_path: list[int], spacing: float = 1.0):
+    """Densify a lane path into ~`spacing`-meter waypoints [N, 3] (x, y, hdg).
+
+    Equivalent to interpolate_trajectory (route_manipulation.py:137-164).
+    """
+    cl = np.asarray(tmap.centerline)
+    hd = np.asarray(tmap.headings)
+    pts, hdg = [], []
+    for k, li in enumerate(lane_path):
+        p = cl[li]
+        h = hd[li]
+        if k > 0:
+            p, h = p[1:], h[1:]
+        pts.append(p)
+        hdg.append(h)
+    pts = np.concatenate(pts)
+    hdg = np.concatenate(hdg)
+    seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+    s = np.concatenate([[0.0], np.cumsum(seg)])
+    total = s[-1]
+    t = np.arange(0.0, max(total, spacing), spacing)
+    x = np.interp(t, s, pts[:, 0])
+    y = np.interp(t, s, pts[:, 1])
+    c = np.interp(t, s, np.cos(hdg))
+    sn = np.interp(t, s, np.sin(hdg))
+    return np.stack([x, y, np.arctan2(sn, c)], axis=-1)
+
+
+def nearest_lane_host(tmap: TensorMap, point) -> int:
+    cl = np.asarray(tmap.centerline)
+    valid = np.asarray(tmap.valid)
+    d2 = ((cl - np.asarray(point)[None, None, :]) ** 2).sum(-1).min(-1)
+    d2[~valid] = np.inf
+    return int(np.argmin(d2))
+
+
+def route_road_lane_ids(tmap: TensorMap, lane_path: list[int], pad_to: int = 64):
+    """Fixed-size (road_ids, lane_ids) arrays for on_route_mask, padded -1."""
+    rid = np.asarray(tmap.road_id)[lane_path]
+    lid = np.asarray(tmap.lane_id)[lane_path]
+    out_r = np.full(pad_to, -1, np.int32)
+    out_l = np.zeros(pad_to, np.int32)
+    n = min(len(rid), pad_to)
+    out_r[:n] = rid[:n]
+    out_l[:n] = lid[:n]
+    return out_r, out_l

@@ -1,11 +1,14 @@
 """Test configuration: run everything on an 8-device virtual CPU mesh so
-multi-chip sharding paths are exercised without TPU hardware."""
+multi-chip sharding paths are exercised without TPU hardware.
 
-import os
+Note: this image's sitecustomize pre-imports jax and registers the tunneled
+TPU backend with JAX_PLATFORMS=axon, so env vars are too late here — we
+override via jax.config before any backend initialises. Going through the
+tunnel would also make every op pay ~ms RPC latency, which is pathological
+for the many tiny test programs.
+"""
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

@@ -1,0 +1,146 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rift_tpu.map import (
+    LANE_POINTS,
+    extract_reference_lines,
+    make_grid_town,
+    make_straight_town,
+    nearest_lane_host,
+    route_road_lane_ids,
+    route_waypoints,
+    trace_route,
+)
+
+
+def test_straight_town_shapes():
+    tm = make_straight_town(length=300.0, num_lanes=2)
+    assert tm.centerline.shape[1] == LANE_POINTS
+    assert bool(tm.valid.all())
+    # 2 lanes x 3 segments
+    assert tm.num_lanes == 6
+    np.testing.assert_allclose(float(tm.width[0]), 3.5)
+
+
+def test_straight_town_topology():
+    tm = make_straight_town(length=300.0, num_lanes=2)
+    rid = np.asarray(tm.road_id)
+    lid = np.asarray(tm.lane_id)
+    succ = np.asarray(tm.successors)
+    # lane (road 1, -1) has successor (road 2, -1)
+    i = int(np.where((rid == 1) & (lid == -1))[0][0])
+    j = int(np.where((rid == 2) & (lid == -1))[0][0])
+    assert j in succ[i].tolist()
+    # adjacency: lane -1 has right_adj lane -2, lane -2 has left_adj -1
+    k = int(np.where((rid == 1) & (lid == -2))[0][0])
+    assert int(np.asarray(tm.right_adj)[i]) == k
+    assert int(np.asarray(tm.left_adj)[k]) == i
+
+
+def test_nearest_lane_and_projection():
+    tm = make_straight_town(length=300.0, num_lanes=2)
+    # point on lane -1 (y=0) at x=150 -> road 2 segment
+    idx = int(tm.nearest_lane(jnp.array([150.0, 0.2])))
+    assert int(tm.road_id[idx]) == 2
+    assert int(tm.lane_id[idx]) == -1
+    s, lat, hdg = tm.project(jnp.asarray(idx), jnp.array([150.0, 0.2]))
+    np.testing.assert_allclose(float(s), 50.0, atol=0.5)
+    np.testing.assert_allclose(float(hdg), 0.0, atol=1e-5)
+
+
+def test_on_road():
+    tm = make_straight_town(length=300.0, num_lanes=2)
+    assert bool(tm.on_road(jnp.array([150.0, 0.0])))
+    assert bool(tm.on_road(jnp.array([150.0, -3.5])))  # second lane center
+    assert not bool(tm.on_road(jnp.array([150.0, 30.0])))  # far off road
+    # batch
+    pts = jnp.array([[10.0, 0.0], [10.0, 50.0]])
+    res = tm.on_road(pts)
+    assert res.shape == (2,)
+    assert bool(res[0]) and not bool(res[1])
+
+
+def test_query_proximal():
+    tm = make_straight_town(length=500.0, num_lanes=2)
+    idx, valid = tm.query_proximal(jnp.array([250.0, 0.0]), radius=120.0, max_objects=8)
+    assert idx.shape == (8,)
+    n_within = int(valid.sum())
+    assert n_within >= 4  # several segments within 120 m
+    # distance-sorted: first is the current segment
+    assert int(tm.road_id[idx[0]]) == 3
+
+
+def test_grid_town_builds():
+    tm = make_grid_town(blocks=2, num_lanes=1)
+    assert tm.num_lanes > 20
+    assert bool(tm.is_junction.any())
+    # all junction connectors have a successor
+    succ = np.asarray(tm.successors)
+    isj = np.asarray(tm.is_junction)
+    assert (succ[isj, 0] >= 0).all()
+
+
+def test_trace_route_straight():
+    tm = make_straight_town(length=500.0, num_lanes=1)
+    start = nearest_lane_host(tm, [10.0, 0.0])
+    goal = nearest_lane_host(tm, [450.0, 0.0])
+    path, dist = trace_route(tm, start, goal)
+    assert path is not None
+    assert path[0] == start and path[-1] == goal
+    assert 350 < dist < 500
+    wps = route_waypoints(tm, path)
+    assert wps.shape[1] == 3
+    assert len(wps) > 300  # ~1m spacing
+
+
+def test_trace_route_grid_with_turn():
+    tm = make_grid_town(blocks=2, num_lanes=1)
+    start = nearest_lane_host(tm, [30.0, 1.75])  # heading +x on road y=0... pick any
+    goal = nearest_lane_host(tm, [120.0, 60.0])
+    path, dist = trace_route(tm, start, goal)
+    assert path is not None and np.isfinite(dist)
+
+
+def test_reference_lines_straight():
+    tm = make_straight_town(length=500.0, num_lanes=2)
+    start = nearest_lane_host(tm, [10.0, 0.0])
+    goal = nearest_lane_host(tm, [450.0, 0.0])
+    path, _ = trace_route(tm, start, goal)
+    rr, rl = route_road_lane_ids(tm, path)
+    route_mask = tm.on_route_mask(jnp.asarray(rr), jnp.asarray(rl))
+    refs = extract_reference_lines(tm, jnp.array([10.0, 0.0]), route_mask)
+    assert refs["position"].shape == (4, 120, 2)
+    assert refs["valid_mask"].shape == (4, 120)
+    # primary line follows the lane: y stays ~0, x increases ~1m/point
+    v0 = np.asarray(refs["valid_mask"][0])
+    p0 = np.asarray(refs["position"][0])
+    assert v0.sum() > 100
+    np.testing.assert_allclose(p0[v0][:, 1], 0.0, atol=0.2)
+    dx = np.diff(p0[v0][:, 0])
+    assert (dx > 0.5).all() and (dx < 1.5).all()
+    # adjacent lane (y=-3.5) produces a second valid line
+    assert bool(refs["valid_mask"][2].any()) or bool(refs["valid_mask"][1].any())
+    # orientation along +x
+    o0 = np.asarray(refs["orientation"][0])
+    np.testing.assert_allclose(o0[v0], 0.0, atol=0.1)
+
+
+def test_reference_lines_dedupe():
+    # single-lane town: left/right adjacents are invalid; alt-branch slot
+    # duplicates the primary and must be masked out by dedupe
+    tm = make_straight_town(length=300.0, num_lanes=1)
+    L = tm.num_lanes
+    route_mask = tm.valid
+    refs = extract_reference_lines(tm, jnp.array([10.0, 0.0]), route_mask)
+    valid_lines = np.asarray(refs["valid_mask"]).any(-1)
+    assert valid_lines.sum() == 1, f"expected 1 unique line, got {valid_lines}"
+
+
+def test_reference_lines_jit_under_vmap():
+    tm = make_straight_town(length=300.0, num_lanes=2)
+    route_mask = tm.valid
+    positions = jnp.array([[10.0, 0.0], [50.0, -3.5], [120.0, 0.0]])
+    refs = jax.vmap(lambda p: extract_reference_lines(tm, p, route_mask))(positions)
+    assert refs["position"].shape == (3, 4, 120, 2)
+    assert bool(refs["valid_mask"][0, 0].any())
