@@ -1,0 +1,233 @@
+"""Background-traffic autopilot: IDM speed + lane-follow steering.
+
+Replaces the CARLA TrafficManager that drives plain background vehicles in
+the reference (hybrid physics, target speed 20% under the limit, 8 m minimum
+headway; rift/carla_runner.py:173-175). Fully vectorized over [S, A]: each
+vehicle chains lane successors (pseudo-random fork choices), spaces waypoints
+along the chain by its IDM-adjusted target speed, and hands them to the
+shared PID tracker (pid.track_step).
+
+IDM parameterisation follows the PDM-Lite expert's values
+(rift/ego/pdm_lite/config.py: minimum gap 4 m, headway 0.25 s, comfortable
+braking ~3.5-4 m/s^2, exponent 4), with TrafficManager-style headway for BVs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..map.tensor_map import LANE_POINTS, TensorMap
+
+# IDM parameters
+IDM_MAX_ACCEL = 2.5  # m/s^2 traffic-flow accel (TM-like, not expert's 24)
+IDM_BRAKE = 3.8  # comfortable deceleration
+IDM_MIN_GAP = 4.0  # s0
+IDM_HEADWAY = 1.0  # T — TM's 8 m headway at ~8 m/s
+IDM_EXPONENT = 4.0
+TM_SPEED_FACTOR = 0.8  # TrafficManager: 20% under the speed limit
+
+LOOKAHEAD_WAYPOINTS = 30  # local path length handed to the tracker
+CHAIN_LANES = 4  # lanes chained ahead for the local path
+
+
+class LeaderInfo(NamedTuple):
+    gap: jnp.ndarray  # [S, A] bumper-to-bumper gap to leader (m), inf if none
+    speed: jnp.ndarray  # [S, A] leader speed
+
+
+def find_leaders(
+    pos: jnp.ndarray,  # [S, A, 2]
+    heading: jnp.ndarray,  # [S, A]
+    speed: jnp.ndarray,  # [S, A]
+    shape: jnp.ndarray,  # [S, A, 2]
+    alive: jnp.ndarray,  # [S, A]
+    max_range: float = 50.0,
+    lateral_tol: float = 1.8,
+) -> LeaderInfo:
+    """Per-agent leading vehicle: nearest alive agent ahead in the agent's
+    frame within a lane-width corridor."""
+    rel = pos[:, None, :, :] - pos[:, :, None, :]  # [S, A(self), A(other), 2]
+    c = jnp.cos(heading)[:, :, None]
+    s = jnp.sin(heading)[:, :, None]
+    lon = rel[..., 0] * c + rel[..., 1] * s
+    lat = -rel[..., 0] * s + rel[..., 1] * c
+    A = pos.shape[1]
+    eye = jnp.eye(A, dtype=bool)
+    cand = (
+        alive[:, None, :]
+        & alive[:, :, None]
+        & ~eye[None]
+        & (lon > 0.0)
+        & (lon < max_range)
+        & (jnp.abs(lat) < lateral_tol)
+    )
+    lon_masked = jnp.where(cand, lon, jnp.inf)
+    leader_idx = jnp.argmin(lon_masked, axis=-1)  # [S, A]
+    leader_lon = jnp.min(lon_masked, axis=-1)
+    # bumper-to-bumper: subtract half lengths
+    own_half = shape[..., 1] * 0.5
+    leader_half = jnp.take_along_axis(shape[..., 1], leader_idx, axis=1) * 0.5
+    gap = leader_lon - own_half - leader_half
+    leader_speed = jnp.take_along_axis(speed, leader_idx, axis=1)
+    has = jnp.isfinite(leader_lon)
+    return LeaderInfo(
+        gap=jnp.where(has, jnp.maximum(gap, 0.1), jnp.inf),
+        speed=jnp.where(has, leader_speed, 0.0),
+    )
+
+
+def idm_target_speed(
+    speed: jnp.ndarray,
+    v0: jnp.ndarray,
+    leader: LeaderInfo,
+    dt: float,
+    horizon_steps: float = 10.0,
+) -> jnp.ndarray:
+    """IDM acceleration integrated over a short horizon -> target speed."""
+    v0 = jnp.maximum(v0, 0.1)
+    dv = speed - leader.speed
+    s_star = IDM_MIN_GAP + speed * IDM_HEADWAY + speed * dv / (
+        2.0 * jnp.sqrt(IDM_MAX_ACCEL * IDM_BRAKE)
+    )
+    s_star = jnp.maximum(s_star, 0.0)
+    interaction = jnp.where(
+        jnp.isfinite(leader.gap), (s_star / leader.gap) ** 2, 0.0
+    )
+    accel = IDM_MAX_ACCEL * (1.0 - (speed / v0) ** IDM_EXPONENT - interaction)
+    accel = jnp.clip(accel, -2 * IDM_BRAKE, IDM_MAX_ACCEL)
+    return jnp.clip(speed + accel * dt * horizon_steps, 0.0, v0 * 1.05)
+
+
+def chain_lanes_free(
+    tmap: TensorMap, lane: jnp.ndarray, branch_bits: jnp.ndarray, n_lanes: int = CHAIN_LANES
+) -> jnp.ndarray:
+    """Chain `n_lanes` successor lanes from `lane`, choosing forks by the
+    per-agent branch bits (2 bits per hop). Free traversal (no route mask) —
+    the TrafficManager-equivalent roaming behavior. Returns [..., n_lanes]."""
+
+    def body(carry, i):
+        cur, bits = carry
+        succ = tmap.successors[jnp.maximum(cur, 0)]  # [..., K]
+        ok = succ >= 0
+        n_ok = ok.sum(-1)
+        choice = (bits >> (2 * i)).astype(jnp.int32) % jnp.maximum(n_ok, 1)
+        # pick the `choice`-th valid successor
+        order = jnp.argsort(~ok, axis=-1)
+        succ_sorted = jnp.take_along_axis(succ, order, axis=-1)
+        nxt = jnp.take_along_axis(
+            succ_sorted, choice[..., None], axis=-1
+        )[..., 0]
+        nxt = jnp.where((n_ok > 0) & (cur >= 0), nxt, -1)
+        return (nxt, bits), nxt
+
+    (_, _), rest = jax.lax.scan(
+        body, (lane, branch_bits), jnp.arange(n_lanes - 1)
+    )
+    rest = jnp.moveaxis(rest, 0, -1)  # [..., n_lanes-1]
+    return jnp.concatenate([lane[..., None], rest], axis=-1)
+
+
+def lane_follow_waypoints(
+    tmap: TensorMap,
+    lane: jnp.ndarray,  # [...] current lane per agent
+    pos: jnp.ndarray,  # [..., 2]
+    heading: jnp.ndarray,  # [...]
+    branch_bits: jnp.ndarray,  # [...] uint32
+    spacing: jnp.ndarray,  # [...] waypoint spacing (m) — encodes target speed
+    num_points: int = LOOKAHEAD_WAYPOINTS,
+) -> jnp.ndarray:
+    """Local-frame waypoints along the agent's lane chain -> [..., N, 2].
+
+    The tracker derives desired speed from waypoint spacing
+    (pid.track_step), so `spacing = v_target * dt` makes the PID chase the
+    IDM speed while pure-pursuit steering follows the lane.
+    """
+    chain = chain_lanes_free(tmap, lane, branch_bits)  # [..., C]
+    pts = tmap.centerline[jnp.maximum(chain, 0)]  # [..., C, P, 2]
+    valid = (chain >= 0)[..., None] & jnp.ones(LANE_POINTS, bool)
+    # flatten chain
+    batch = chain.shape[:-1]
+    n = chain.shape[-1] * LANE_POINTS
+    pts = pts.reshape(*batch, n, 2)
+    valid = valid.reshape(*batch, n)
+    # arclength along the chain (invalid segments contribute 0)
+    seg = jnp.linalg.norm(jnp.diff(pts, axis=-2), axis=-1)
+    seg = jnp.where(valid[..., 1:] & valid[..., :-1], seg, 0.0)
+    s = jnp.concatenate([jnp.zeros_like(seg[..., :1]), jnp.cumsum(seg, axis=-1)], axis=-1)
+    # start at the agent's nearest chain vertex
+    d2 = jnp.sum((pts - pos[..., None, :]) ** 2, axis=-1)
+    d2 = jnp.where(valid, d2, jnp.inf)
+    i0 = jnp.argmin(d2, axis=-1)
+    s0 = jnp.take_along_axis(s, i0[..., None], axis=-1)[..., 0]
+    targets = (
+        s0[..., None]
+        + (1.0 + jnp.arange(num_points, dtype=jnp.float32)) * spacing[..., None]
+    )
+
+    def interp1(t, sv, xv):
+        return jnp.interp(t, sv, xv)
+
+    # vectorized interp over batch
+    flat_t = targets.reshape(-1, num_points)
+    flat_s = s.reshape(-1, n)
+    flat_x = pts[..., 0].reshape(-1, n)
+    flat_y = pts[..., 1].reshape(-1, n)
+    wx = jax.vmap(interp1)(flat_t, flat_s, flat_x).reshape(*batch, num_points)
+    wy = jax.vmap(interp1)(flat_t, flat_s, flat_y).reshape(*batch, num_points)
+    world_wp = jnp.stack([wx, wy], axis=-1)
+    # to local frame
+    rel = world_wp - pos[..., None, :]
+    c = jnp.cos(heading)[..., None]
+    sn = jnp.sin(heading)[..., None]
+    local = jnp.stack(
+        [rel[..., 0] * c + rel[..., 1] * sn, -rel[..., 0] * sn + rel[..., 1] * c],
+        axis=-1,
+    )
+    return local
+
+
+def path_follow_waypoints(
+    path: jnp.ndarray,  # [..., N, 3] (x, y, heading) dense route, padded
+    path_len: jnp.ndarray,  # [...] int32 valid count
+    pos: jnp.ndarray,  # [..., 2]
+    heading: jnp.ndarray,  # [...]
+    spacing: jnp.ndarray,  # [...]
+    num_points: int = LOOKAHEAD_WAYPOINTS,
+) -> jnp.ndarray:
+    """Local waypoints along a dense (1 m) route polyline -> [..., N, 2].
+
+    Used by the rule ego to follow its scenario route, standing in for
+    PDM-Lite's privileged route planner."""
+    n = path.shape[-2]
+    idx_range = jnp.arange(n)
+    valid = idx_range < path_len[..., None]
+    pts = path[..., :2]
+    seg = jnp.linalg.norm(jnp.diff(pts, axis=-2), axis=-1)
+    seg = jnp.where(valid[..., 1:] & valid[..., :-1], seg, 0.0)
+    s = jnp.concatenate([jnp.zeros_like(seg[..., :1]), jnp.cumsum(seg, axis=-1)], axis=-1)
+    d2 = jnp.sum((pts - pos[..., None, :]) ** 2, axis=-1)
+    d2 = jnp.where(valid, d2, jnp.inf)
+    i0 = jnp.argmin(d2, axis=-1)
+    s0 = jnp.take_along_axis(s, i0[..., None], axis=-1)[..., 0]
+    targets = (
+        s0[..., None]
+        + (1.0 + jnp.arange(num_points, dtype=jnp.float32)) * spacing[..., None]
+    )
+    batch = path.shape[:-2]
+    flat_t = targets.reshape(-1, num_points)
+    flat_s = s.reshape(-1, n)
+    flat_x = pts[..., 0].reshape(-1, n)
+    flat_y = pts[..., 1].reshape(-1, n)
+    wx = jax.vmap(jnp.interp)(flat_t, flat_s, flat_x).reshape(*batch, num_points)
+    wy = jax.vmap(jnp.interp)(flat_t, flat_s, flat_y).reshape(*batch, num_points)
+    world_wp = jnp.stack([wx, wy], axis=-1)
+    rel = world_wp - pos[..., None, :]
+    c = jnp.cos(heading)[..., None]
+    sn = jnp.sin(heading)[..., None]
+    return jnp.stack(
+        [rel[..., 0] * c + rel[..., 1] * sn, -rel[..., 0] * sn + rel[..., 1] * c],
+        axis=-1,
+    )

@@ -1,0 +1,127 @@
+"""SimState: the fixed-shape world state pytree.
+
+Design inversion of the reference's CarlaDataProvider god-object
+(rift/scenario/tools/carla_data_provider.py): per-actor Python registries,
+deque histories and dict-keyed CBV bookkeeping become dense [S, A] tensors
+with masks. Agent slot 0 of every scenario is the ego; background vehicles
+occupy the remaining slots and are promoted to CBVs by flipping `is_cbv`
+(replacing the reference's CBV spawn/destroy churn, carla_env.py:431-462).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from .pid import TrackerState
+
+HISTORY_STEPS = 21  # reference: 2 s history @ 10 fps + current frame
+DEFAULT_SHAPE = (2.0, 4.9)  # width, length — lincoln.mkz_2017-class sedan
+
+
+@struct.dataclass
+class SimState:
+    # kinematic state
+    pos: jnp.ndarray  # [S, A, 2] float32 (rear-axle reference point)
+    heading: jnp.ndarray  # [S, A]
+    speed: jnp.ndarray  # [S, A] forward speed, m/s
+    accel: jnp.ndarray  # [S, A] longitudinal accel estimate (m/s^2)
+    yaw_rate: jnp.ndarray  # [S, A]
+    control: jnp.ndarray  # [S, A, 3] last applied throttle/steer/brake
+
+    # identity & masks
+    alive: jnp.ndarray  # [S, A] bool
+    is_cbv: jnp.ndarray  # [S, A] bool (slot 0 never CBV)
+    shape: jnp.ndarray  # [S, A, 2] width, length
+
+    # history ring (index -1 = most recent)
+    hist_pos: jnp.ndarray  # [S, A, H, 2]
+    hist_heading: jnp.ndarray  # [S, A, H]
+    hist_vel: jnp.ndarray  # [S, A, H, 2] world-frame velocity
+    hist_valid: jnp.ndarray  # [S, A, H] bool
+
+    # map binding
+    lane: jnp.ndarray  # [S, A] int32 current lane index
+    bv_branch_bits: jnp.ndarray  # [S, A] uint32 pseudo-random fork choices
+
+    # per-agent goal (CBV route planner), world frame
+    goal: jnp.ndarray  # [S, A, 2]
+    goal_valid: jnp.ndarray  # [S, A] bool
+
+    # controllers
+    tracker: TrackerState  # batch [S, A]
+
+    # events (this tick)
+    collision: jnp.ndarray  # [S, A] bool
+    collided_with: jnp.ndarray  # [S, A] int32 other-agent slot or -1
+    offroad: jnp.ndarray  # [S, A] bool
+
+    # episode bookkeeping
+    ego_route_cursor: jnp.ndarray  # [S] float32 arclength progressed on route
+    tick: jnp.ndarray  # [S] int32
+    rng: jnp.ndarray  # [S, 2] uint32 per-scenario PRNG key
+
+    @property
+    def num_scenarios(self) -> int:
+        return self.pos.shape[0]
+
+    @property
+    def num_agents(self) -> int:
+        return self.pos.shape[1]
+
+    @property
+    def velocity(self) -> jnp.ndarray:
+        """[S, A, 2] world-frame velocity from speed+heading."""
+        return self.speed[..., None] * jnp.stack(
+            [jnp.cos(self.heading), jnp.sin(self.heading)], axis=-1
+        )
+
+
+@struct.dataclass
+class ScenarioSpec:
+    """Episode-static per-scenario data (built at reset on host)."""
+
+    ego_route: jnp.ndarray  # [S, RW, 3] x, y, heading (1 m spacing), padded
+    ego_route_len: jnp.ndarray  # [S] int32 number of valid waypoints
+    route_road_ids: jnp.ndarray  # [S, RIDS] int32, -1 padded
+    route_lane_ids: jnp.ndarray  # [S, RIDS] int32
+    ego_target_speed: jnp.ndarray  # [S] m/s
+    timeout_ticks: jnp.ndarray  # [S] int32 (reference: 1 s per route meter)
+
+
+def init_sim_state(
+    num_scenarios: int,
+    num_agents: int,
+    rng: jnp.ndarray | None = None,
+) -> SimState:
+    S, A = num_scenarios, num_agents
+    if rng is None:
+        rng = jnp.zeros((S, 2), jnp.uint32)
+    return SimState(
+        pos=jnp.zeros((S, A, 2), jnp.float32),
+        heading=jnp.zeros((S, A), jnp.float32),
+        speed=jnp.zeros((S, A), jnp.float32),
+        accel=jnp.zeros((S, A), jnp.float32),
+        yaw_rate=jnp.zeros((S, A), jnp.float32),
+        control=jnp.zeros((S, A, 3), jnp.float32),
+        alive=jnp.zeros((S, A), bool),
+        is_cbv=jnp.zeros((S, A), bool),
+        shape=jnp.broadcast_to(
+            jnp.asarray(DEFAULT_SHAPE, jnp.float32), (S, A, 2)
+        ),
+        hist_pos=jnp.zeros((S, A, HISTORY_STEPS, 2), jnp.float32),
+        hist_heading=jnp.zeros((S, A, HISTORY_STEPS), jnp.float32),
+        hist_vel=jnp.zeros((S, A, HISTORY_STEPS, 2), jnp.float32),
+        hist_valid=jnp.zeros((S, A, HISTORY_STEPS), bool),
+        lane=jnp.zeros((S, A), jnp.int32),
+        bv_branch_bits=jnp.zeros((S, A), jnp.uint32),
+        goal=jnp.zeros((S, A, 2), jnp.float32),
+        goal_valid=jnp.zeros((S, A), bool),
+        tracker=TrackerState.zeros((S, A)),
+        collision=jnp.zeros((S, A), bool),
+        collided_with=jnp.full((S, A), -1, jnp.int32),
+        offroad=jnp.zeros((S, A), bool),
+        ego_route_cursor=jnp.zeros(S, jnp.float32),
+        tick=jnp.zeros(S, jnp.int32),
+        rng=rng,
+    )

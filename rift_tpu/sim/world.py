@@ -1,0 +1,199 @@
+"""The world tick: one fused, jittable step for all scenarios and agents.
+
+Replaces the reference's CARLA server round-trip
+(rift/gym_carla/envs/env_wrapper.py:127-197: apply controls -> world.tick()
+RPC -> refresh caches) with a pure function over SimState. One call advances
+every scenario in the batch; `vmap`/sharding over the scenario axis is free
+because every op is already batched on [S, A].
+
+Control merge order per agent slot:
+  1. raw control (`ctrl_mask`) — external throttle/steer/brake;
+  2. trajectory tracking (`traj_mask`) — local waypoints through the shared
+     PID tracker (how Pluto CBVs and waypoint egos drive, pluto.py:249-259);
+  3. otherwise the IDM lane-follow autopilot (TrafficManager stand-in).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.obb import obb_overlap
+from ..geometry.se2 import wrap_angle
+from ..map.tensor_map import TensorMap
+from .autopilot import (
+    LOOKAHEAD_WAYPOINTS,
+    TM_SPEED_FACTOR,
+    find_leaders,
+    idm_target_speed,
+    lane_follow_waypoints,
+)
+from .dynamics import bicycle_step
+from .pid import track_step
+from .state import ScenarioSpec, SimState
+
+GOAL_RADIUS = 3.0  # CBV reach-goal distance (route_planner.py reach check)
+
+
+def autopilot_waypoints(
+    tmap: TensorMap, state: SimState, dt: float
+) -> jnp.ndarray:
+    """IDM lane-follow waypoints for every agent -> [S, A, N, 2] local frame."""
+    leaders = find_leaders(
+        state.pos, state.heading, state.speed, state.shape, state.alive
+    )
+    v_limit = tmap.speed_limit[state.lane] * TM_SPEED_FACTOR
+    v_target = idm_target_speed(state.speed, v_limit, leaders, dt)
+    spacing = jnp.maximum(v_target * dt, 1e-3)
+    return lane_follow_waypoints(
+        tmap,
+        state.lane,
+        state.pos,
+        state.heading,
+        state.bv_branch_bits,
+        spacing,
+    )
+
+
+@partial(jax.jit, static_argnames=("dt",))
+def step(
+    tmap: TensorMap,
+    spec: ScenarioSpec,
+    state: SimState,
+    traj: jnp.ndarray | None = None,  # [S, A, T, 2] local waypoints
+    traj_mask: jnp.ndarray | None = None,  # [S, A] bool
+    ctrl: jnp.ndarray | None = None,  # [S, A, 3]
+    ctrl_mask: jnp.ndarray | None = None,  # [S, A] bool
+    dt: float = 0.1,
+) -> SimState:
+    S, A = state.num_scenarios, state.num_agents
+
+    # ------------------------------------------------------------------
+    # 1-2. control resolution
+    # ------------------------------------------------------------------
+    wp = autopilot_waypoints(tmap, state, dt)  # [S, A, N, 2]
+    if traj is not None:
+        T = traj.shape[-2]
+        if T < LOOKAHEAD_WAYPOINTS:
+            pad = jnp.repeat(traj[..., -1:, :], LOOKAHEAD_WAYPOINTS - T, axis=-2)
+            traj = jnp.concatenate([traj, pad], axis=-2)
+        else:
+            traj = traj[..., :LOOKAHEAD_WAYPOINTS, :]
+        wp = jnp.where(traj_mask[..., None, None], traj, wp)
+
+    action, tracker = track_step(state.tracker, wp, state.speed)
+    if ctrl is not None:
+        action = jnp.where(ctrl_mask[..., None], ctrl, action)
+
+    # dead agents: full brake, no movement below
+    action = jnp.where(state.alive[..., None], action, jnp.array([0.0, 0.0, 1.0]))
+
+    # ------------------------------------------------------------------
+    # 3-4. dynamics
+    # ------------------------------------------------------------------
+    new_pos, new_heading, new_speed = bicycle_step(
+        state.pos, state.heading, state.speed, action, dt
+    )
+    new_pos = jnp.where(state.alive[..., None], new_pos, state.pos)
+    new_heading = jnp.where(state.alive, new_heading, state.heading)
+    new_speed = jnp.where(state.alive, new_speed, 0.0)
+
+    accel = (new_speed - state.speed) / dt
+    yaw_rate = wrap_angle(new_heading - state.heading) / dt
+
+    # ------------------------------------------------------------------
+    # 5. history ring (shift left, append)
+    # ------------------------------------------------------------------
+    vel = new_speed[..., None] * jnp.stack(
+        [jnp.cos(new_heading), jnp.sin(new_heading)], axis=-1
+    )
+    hist_pos = jnp.concatenate(
+        [state.hist_pos[:, :, 1:], new_pos[:, :, None]], axis=2
+    )
+    hist_heading = jnp.concatenate(
+        [state.hist_heading[:, :, 1:], new_heading[:, :, None]], axis=2
+    )
+    hist_vel = jnp.concatenate(
+        [state.hist_vel[:, :, 1:], vel[:, :, None]], axis=2
+    )
+    hist_valid = jnp.concatenate(
+        [state.hist_valid[:, :, 1:], state.alive[:, :, None]], axis=2
+    )
+
+    # ------------------------------------------------------------------
+    # 6. lane binding
+    # ------------------------------------------------------------------
+    new_lane = tmap.nearest_lane(new_pos)  # [S, A]
+    # advance fork bits when the lane actually changes so each junction gets
+    # a fresh pseudo-random choice
+    lane_changed = new_lane != state.lane
+    branch_bits = jnp.where(
+        lane_changed,
+        state.bv_branch_bits * jnp.uint32(1664525) + jnp.uint32(1013904223),
+        state.bv_branch_bits,
+    )
+
+    # ------------------------------------------------------------------
+    # 7. collisions (all-pairs OBB SAT within each scenario)
+    # ------------------------------------------------------------------
+    overlap = obb_overlap(
+        new_pos[:, :, None],
+        new_heading[:, :, None],
+        state.shape[:, :, None],
+        new_pos[:, None, :],
+        new_heading[:, None, :],
+        state.shape[:, None, :],
+    )  # [S, A, A]
+    pair_alive = state.alive[:, :, None] & state.alive[:, None, :]
+    eye = jnp.eye(A, dtype=bool)[None]
+    hit = overlap & pair_alive & ~eye
+    collision = hit.any(-1)
+    collided_with = jnp.where(collision, jnp.argmax(hit, axis=-1), -1).astype(
+        jnp.int32
+    )
+
+    # ------------------------------------------------------------------
+    # 8. off-road
+    # ------------------------------------------------------------------
+    offroad = ~tmap.on_road(new_pos) & state.alive
+
+    # ------------------------------------------------------------------
+    # 9. ego route progress (1 m waypoint spacing -> nearest index ~ meters)
+    # ------------------------------------------------------------------
+    ego_pos = new_pos[:, 0]
+    route_pts = spec.ego_route[..., :2]  # [S, RW, 2]
+    rw = route_pts.shape[1]
+    route_valid = jnp.arange(rw)[None] < spec.ego_route_len[:, None]
+    d2r = jnp.sum((route_pts - ego_pos[:, None]) ** 2, axis=-1)
+    d2r = jnp.where(route_valid, d2r, jnp.inf)
+    proj = jnp.argmin(d2r, axis=-1).astype(jnp.float32)
+    cursor = jnp.maximum(state.ego_route_cursor, proj)
+
+    return state.replace(
+        pos=new_pos,
+        heading=new_heading,
+        speed=new_speed,
+        accel=accel,
+        yaw_rate=yaw_rate,
+        control=action,
+        hist_pos=hist_pos,
+        hist_heading=hist_heading,
+        hist_vel=hist_vel,
+        hist_valid=hist_valid,
+        lane=new_lane,
+        bv_branch_bits=branch_bits,
+        tracker=tracker,
+        collision=collision,
+        collided_with=collided_with,
+        offroad=offroad,
+        ego_route_cursor=cursor,
+        tick=state.tick + 1,
+    )
+
+
+def cbv_reached_goal(state: SimState) -> jnp.ndarray:
+    """[S, A] bool: CBV within GOAL_RADIUS of its goal."""
+    d = jnp.linalg.norm(state.pos - state.goal, axis=-1)
+    return state.is_cbv & state.goal_valid & (d < GOAL_RADIUS)
