@@ -90,7 +90,15 @@ class TensorMap:
         (nuplan_map_utils.py:354-433).
         """
         d2 = self.lane_point_dist2(point)
-        neg, idx = jax.lax.top_k(-d2, k)
+        kk = min(k, self.num_lanes)
+        neg, idx = jax.lax.top_k(-d2, kk)
+        if kk < k:
+            idx = jnp.concatenate(
+                [idx, jnp.zeros(idx.shape[:-1] + (k - kk,), idx.dtype)], axis=-1
+            )
+            neg = jnp.concatenate(
+                [neg, jnp.full(neg.shape[:-1] + (k - kk,), -jnp.inf)], axis=-1
+            )
         return idx.astype(jnp.int32), -neg
 
     def query_proximal(self, point: jnp.ndarray, radius: float, max_objects: int):

@@ -1,0 +1,211 @@
+"""On-device Pluto feature builder.
+
+Replaces the reference's host-side PlutoFeatureBuilder
+(rift/cbv/planning/pluto/feature_builder/pluto_feature_builder.py) +
+PlutoFeature.normalize/collate (pluto_feature.py): features are built
+directly in the center agent's frame from the SimState history tensors and
+the TensorMap — no shapely, no per-CBV Python loops, no host round-trip.
+`vmap` over (scenario, agent) gives the whole batch in one fused program.
+
+Traffic lights are assumed GREEN for lanes, matching the reference
+(pluto_feature_builder.py:316: "assume all the traffic light is Green").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ...geometry.se2 import rotate, wrap_angle
+from ...map.reference_lines import extract_reference_lines
+from ...map.tensor_map import LANE_POINTS, TensorMap
+from ...sim.state import HISTORY_STEPS, SimState
+
+# polygon type codes (pluto_feature_builder.py:59-63 ordering)
+PT_LANE, PT_LANE_CONNECTOR, PT_CROSSWALK = 0, 1, 2
+TL_GREEN, TL_UNKNOWN = 0, 3
+# agent categories (pluto_feature_builder.py:47-52 ordering)
+CAT_EGO, CAT_VEHICLE, CAT_PEDESTRIAN, CAT_BICYCLE = 0, 1, 2, 3
+
+
+def build_features_for_agent(
+    tmap: TensorMap,
+    state: SimState,
+    scenario: jnp.ndarray,  # scalar int
+    agent: jnp.ndarray,  # scalar int: the center agent slot
+    route_mask: jnp.ndarray,  # [L] on-route lanes for this agent's route
+    max_agents: int = 32,
+    max_polygons: int = 64,
+    num_refs: int = 4,
+    radius: float = 120.0,
+):
+    """Feature dict (unbatched) for one center agent, in its frame."""
+    pos = state.pos[scenario]  # [A, 2]
+    heading = state.heading[scenario]
+    alive = state.alive[scenario]
+    shape = state.shape[scenario]
+    hist_pos = state.hist_pos[scenario]  # [A, H, 2]
+    hist_heading = state.hist_heading[scenario]
+    hist_vel = state.hist_vel[scenario]
+    hist_valid = state.hist_valid[scenario]
+
+    c_pos = pos[agent]
+    c_heading = heading[agent]
+    c = jnp.cos(-c_heading)
+    s = jnp.sin(-c_heading)
+
+    def to_local_pts(p):
+        rel = p - c_pos
+        return jnp.stack(
+            [rel[..., 0] * c - rel[..., 1] * s, rel[..., 0] * s + rel[..., 1] * c],
+            axis=-1,
+        )
+
+    def rot_local(v):
+        return jnp.stack(
+            [v[..., 0] * c - v[..., 1] * s, v[..., 0] * s + v[..., 1] * c],
+            axis=-1,
+        )
+
+    # ---------------------------------------------------------------- agents
+    A = pos.shape[0]
+    d = jnp.linalg.norm(pos - c_pos, axis=-1)
+    d = jnp.where(alive & (jnp.arange(A) != agent), d, jnp.inf)
+    d = jnp.where(d <= radius, d, jnp.inf)
+    # nearest neighbors, then center agent at slot 0
+    k = min(max_agents - 1, A)
+    neg, nbr_idx = jax.lax.top_k(-d, k)
+    nbr_idx = jnp.pad(nbr_idx, (0, max_agents - 1 - k))
+    nbr_valid = jnp.pad(jnp.isfinite(-neg), (0, max_agents - 1 - k))
+    order = jnp.concatenate([agent[None], nbr_idx])
+    slot_valid = jnp.concatenate([jnp.ones(1, bool), nbr_valid])
+
+    a_pos = to_local_pts(hist_pos[order])  # [N, H, 2]
+    a_heading = wrap_angle(hist_heading[order] - c_heading)
+    a_vel = rot_local(hist_vel[order])
+    a_shape = jnp.broadcast_to(
+        shape[order][:, None, :], (max_agents, HISTORY_STEPS, 2)
+    )
+    a_valid = hist_valid[order] & slot_valid[:, None]
+    category = jnp.where(
+        jnp.arange(max_agents) == 0, CAT_EGO, CAT_VEHICLE
+    ).astype(jnp.int32)
+
+    # current state channels: x, y, heading = 0 in own frame;
+    # then v_lon, a_lon, steering, yaw_rate (pluto_feature_builder.py:124-138)
+    cur = jnp.array(
+        [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], jnp.float32
+    )
+    cur = cur.at[3].set(state.speed[scenario, agent])
+    cur = cur.at[4].set(state.accel[scenario, agent])
+    cur = cur.at[5].set(state.control[scenario, agent, 1] * 0.37)  # steer->angle
+    cur = cur.at[6].set(state.yaw_rate[scenario, agent])
+
+    # ---------------------------------------------------------------- map
+    lane_idx, lane_in = tmap.query_proximal(c_pos, radius, max_polygons)
+    li = jnp.maximum(lane_idx, 0)
+    centerline = to_local_pts(tmap.centerline[li])  # [M, P+1, 2]
+    left = to_local_pts(tmap.left_edge[li])
+    right = to_local_pts(tmap.right_edge[li])
+    edges = jnp.stack([centerline, left, right], axis=1)  # [M, 3, P+1, 2]
+    point_position = edges[:, :, :-1]  # [M, 3, P, 2]
+    point_vector = edges[:, :, 1:] - edges[:, :, :-1]
+    point_orientation = jnp.arctan2(
+        point_vector[..., 1], point_vector[..., 0]
+    )
+    P = LANE_POINTS - 1
+    mid = P // 2
+    polygon_center = jnp.concatenate(
+        [centerline[:, mid], point_orientation[:, 0, mid][:, None]], axis=-1
+    )
+    polygon_type = jnp.where(
+        tmap.is_junction[li], PT_LANE_CONNECTOR, PT_LANE
+    ).astype(jnp.int32)
+    polygon_on_route = route_mask[li] & lane_in
+    polygon_tl = jnp.full((max_polygons,), TL_GREEN, jnp.int32)
+    polygon_speed = tmap.speed_limit[li]
+    polygon_has_speed = lane_in
+    map_valid = lane_in[:, None] & jnp.ones(P, bool)
+
+    # ---------------------------------------------------------------- refs
+    refs = extract_reference_lines(
+        tmap, c_pos, route_mask, num_refs=num_refs,
+        num_points=int(radius), max_length=radius,
+    )
+    r_pos = to_local_pts(refs["position"])
+    r_ori = wrap_angle(refs["orientation"] - c_heading)
+    r_vec = rot_local(refs["vector"])
+
+    # ---------------------------------------------------------------- statics
+    statics = {
+        "position": jnp.zeros((1, 2), jnp.float32),
+        "heading": jnp.zeros((1,), jnp.float32),
+        "shape": jnp.zeros((1, 2), jnp.float32),
+        "category": jnp.zeros((1,), jnp.int32),
+        "valid_mask": jnp.zeros((1,), bool),
+    }
+
+    return {
+        "agent": {
+            "position": a_pos,
+            "heading": a_heading,
+            "velocity": a_vel,
+            "shape": a_shape,
+            "category": category,
+            "valid_mask": a_valid,
+        },
+        "map": {
+            "point_position": point_position,
+            "point_vector": point_vector,
+            "point_orientation": point_orientation,
+            "polygon_center": polygon_center,
+            "polygon_type": polygon_type,
+            "polygon_on_route": polygon_on_route,
+            "polygon_tl_status": polygon_tl,
+            "polygon_has_speed_limit": polygon_has_speed,
+            "polygon_speed_limit": polygon_speed,
+            "valid_mask": map_valid,
+        },
+        "reference_line": {
+            "position": r_pos,
+            "vector": r_vec,
+            "orientation": r_ori,
+            "valid_mask": refs["valid_mask"],
+        },
+        "static_objects": statics,
+        "current_state": cur,
+    }
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_agents", "max_polygons", "num_refs", "radius"),
+)
+def build_cbv_features(
+    tmap: TensorMap,
+    state: SimState,
+    cbv_slots: jnp.ndarray,  # [S, C] agent slot per CBV position (-1 pad)
+    route_masks: jnp.ndarray,  # [S, C, L] per-CBV on-route lane masks
+    max_agents: int = 32,
+    max_polygons: int = 64,
+    num_refs: int = 4,
+    radius: float = 120.0,
+):
+    """Batched features for all CBVs of all scenarios: leading dims [S, C].
+
+    Returns (features pytree with leading [S, C], valid [S, C]).
+    """
+    S, C = cbv_slots.shape
+
+    def one(scenario, slot, rmask):
+        return build_features_for_agent(
+            tmap, state, scenario, jnp.maximum(slot, 0), rmask,
+            max_agents=max_agents, max_polygons=max_polygons,
+            num_refs=num_refs, radius=radius,
+        )
+
+    scen = jnp.broadcast_to(jnp.arange(S)[:, None], (S, C))
+    feats = jax.vmap(jax.vmap(one))(scen, cbv_slots, route_masks)
+    return feats, cbv_slots >= 0

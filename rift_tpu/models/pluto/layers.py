@@ -1,0 +1,300 @@
+"""Flax building blocks for the Pluto planner.
+
+Re-designed from the reference's torch modules (rift/cbv/planning/pluto/model/
+layers/*) for TPU: the natten NeighborhoodAttention1D history encoder becomes
+banded full attention (equivalent receptive field; at T<=21 tokens a dense
+band mask is MXU-friendly where gather-based neighborhood attention is not),
+and BatchNorm in the PointNet encoders becomes LayerNorm (mask-friendly,
+no running stats to sync across shards).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class MLPLayer(nn.Module):
+    """Linear -> LayerNorm -> ReLU -> Linear (reference mlp_layer.py)."""
+
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden)(x)
+        x = nn.LayerNorm()(x)
+        x = nn.relu(x)
+        return nn.Dense(self.out)(x)
+
+
+class FourierEmbedding(nn.Module):
+    """Learned Fourier features per input channel, summed
+    (reference layers/fourier_embedding.py)."""
+
+    dim: int
+    num_freq_bands: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (..., C)
+        C = x.shape[-1]
+        freqs = self.param(
+            "freqs", nn.initializers.normal(1.0), (C, self.num_freq_bands)
+        )
+        phased = x[..., None] * freqs * 2 * jnp.pi  # (..., C, F)
+        feats = jnp.concatenate(
+            [jnp.cos(phased), jnp.sin(phased), x[..., None]], axis=-1
+        )  # (..., C, 2F+1)
+        out = 0.0
+        for i in range(C):
+            h = nn.Dense(self.dim, name=f"mlp{i}_fc1")(feats[..., i, :])
+            h = nn.LayerNorm(name=f"mlp{i}_ln")(h)
+            h = nn.relu(h)
+            h = nn.Dense(self.dim, name=f"mlp{i}_fc2")(h)
+            out = out + h
+        out = nn.LayerNorm(name="out_ln")(out)
+        out = nn.relu(out)
+        return nn.Dense(self.dim, name="out_fc")(out)
+
+
+class PointsEncoder(nn.Module):
+    """Masked PointNet: per-point MLP, max-pool, concat global, second MLP,
+    final max-pool (reference layers/embedding.py:PointsEncoder)."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x, mask):
+        # x: (..., N, C); mask: (..., N)
+        h = nn.Dense(128)(x)
+        h = nn.LayerNorm()(h)
+        h = nn.relu(h)
+        h = nn.Dense(256)(h)
+        h = jnp.where(mask[..., None], h, -1e9)
+        pooled = h.max(axis=-2, keepdims=True)
+        h = jnp.concatenate([h, jnp.broadcast_to(pooled, h.shape)], axis=-1)
+        h = nn.Dense(256)(h)
+        h = nn.LayerNorm()(h)
+        h = nn.relu(h)
+        h = nn.Dense(self.out_dim)(h)
+        h = jnp.where(mask[..., None], h, -1e9)
+        out = h.max(axis=-2)
+        # all-masked rows would be -1e9 -> zero them
+        any_valid = mask.any(axis=-1)
+        return jnp.where(any_valid[..., None], out, 0.0)
+
+
+def drop_path(x, rate: float, deterministic: bool, rng):
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    import jax
+
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+class DropPath(nn.Module):
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        rng = self.make_rng("dropout")
+        return drop_path(x, self.rate, deterministic, rng)
+
+
+class Attention(nn.Module):
+    """Multi-head attention with optional key-padding / band masks."""
+
+    dim: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        q,
+        k=None,
+        v=None,
+        key_padding_mask: Optional[jnp.ndarray] = None,  # (..., Nk) True=pad
+        attn_bias: Optional[jnp.ndarray] = None,  # broadcastable to (..., H, Nq, Nk)
+        deterministic: bool = True,
+    ):
+        k = q if k is None else k
+        v = k if v is None else v
+        H = self.num_heads
+        Dh = self.dim // H
+        qh = nn.DenseGeneral((H, Dh), name="q")(q)
+        kh = nn.DenseGeneral((H, Dh), name="k")(k)
+        vh = nn.DenseGeneral((H, Dh), name="v")(v)
+        logits = jnp.einsum("...qhd,...khd->...hqk", qh, kh) / jnp.sqrt(Dh)
+        if attn_bias is not None:
+            logits = logits + attn_bias
+        if key_padding_mask is not None:
+            pad = key_padding_mask[..., None, None, :]  # (..., 1, 1, Nk)
+            logits = jnp.where(pad, -1e9, logits)
+        w = nn.softmax(logits, axis=-1)
+        if self.dropout > 0.0 and not deterministic:
+            w = nn.Dropout(self.dropout)(w, deterministic=False)
+        out = jnp.einsum("...hqk,...khd->...qhd", w, vh)
+        return nn.DenseGeneral(self.dim, axis=(-2, -1), name="out")(out)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Pre-LN encoder block (reference layers/transformer.py:40-94)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    drop_path_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask=None, deterministic: bool = True):
+        h = nn.LayerNorm()(x)
+        h = Attention(self.dim, self.num_heads, self.dropout)(
+            h, key_padding_mask=key_padding_mask, deterministic=deterministic
+        )
+        x = x + DropPath(self.drop_path_rate)(h, deterministic)
+        h = nn.LayerNorm()(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio))(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.dim)(h)
+        x = x + DropPath(self.drop_path_rate)(h, deterministic)
+        return x
+
+
+def band_mask(n: int, window: int) -> jnp.ndarray:
+    """(n, n) additive bias: 0 inside |i-j| <= window//2, -1e9 outside —
+    the dense equivalent of neighborhood attention at this scale."""
+    i = jnp.arange(n)
+    near = jnp.abs(i[:, None] - i[None, :]) <= window // 2
+    return jnp.where(near, 0.0, -1e9)
+
+
+class LocalBlock(nn.Module):
+    """Banded-attention block standing in for the reference's NATLayer."""
+
+    dim: int
+    num_heads: int
+    window: int
+    mlp_ratio: float = 3.0
+    drop_path_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        n = x.shape[-2]
+        bias = band_mask(n, self.window)
+        h = nn.LayerNorm()(x)
+        h = Attention(self.dim, self.num_heads)(
+            h, attn_bias=bias, deterministic=deterministic
+        )
+        x = x + DropPath(self.drop_path_rate)(h, deterministic)
+        h = nn.LayerNorm()(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio))(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.dim)(h)
+        x = x + DropPath(self.drop_path_rate)(h, deterministic)
+        return x
+
+
+class HistoryEncoder(nn.Module):
+    """Temporal encoder for per-agent history vectors.
+
+    Stands in for NATSequenceEncoder (reference layers/embedding.py:8-90):
+    conv tokenizer, three banded-attention stages with stride-2 conv
+    downsampling, FPN-style fusion, last-token readout.
+    """
+
+    embed_dim: int = 32  # dim // 4
+    depths: tuple = (2, 2, 2)
+    num_heads: tuple = (2, 4, 8)
+    windows: tuple = (3, 3, 5)
+    drop_path_rate: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        # x: (B, T, C_in)
+        x = nn.Conv(self.embed_dim, kernel_size=(3,), padding="SAME")(x)
+        outs = []
+        dim = self.embed_dim
+        total = sum(self.depths)
+        done = 0
+        for level, (depth, heads, win) in enumerate(
+            zip(self.depths, self.num_heads, self.windows)
+        ):
+            for d in range(depth):
+                rate = self.drop_path_rate * (done / max(total - 1, 1))
+                done += 1
+                x = LocalBlock(dim, heads, win, drop_path_rate=rate)(
+                    x, deterministic
+                )
+            outs.append(nn.LayerNorm()(x))
+            if level < len(self.depths) - 1:
+                x = nn.Conv(dim * 2, kernel_size=(3,), strides=(2,), padding="SAME")(x)
+                x = nn.LayerNorm()(x)
+                dim *= 2
+        # FPN: project all levels to the last dim, upsample-add, final conv
+        n_out = dim
+        laterals = [
+            nn.Conv(n_out, kernel_size=(3,), padding="SAME")(o) for o in outs
+        ]
+        for i in range(len(laterals) - 1, 0, -1):
+            up = jnp.repeat(
+                laterals[i], laterals[i - 1].shape[-2] // laterals[i].shape[-2], axis=-2
+            )
+            # pad if lengths mismatch
+            if up.shape[-2] < laterals[i - 1].shape[-2]:
+                pad = laterals[i - 1].shape[-2] - up.shape[-2]
+                up = jnp.concatenate([up, up[..., -1:, :].repeat(pad, axis=-2)], axis=-2)
+            laterals[i - 1] = laterals[i - 1] + up[..., : laterals[i - 1].shape[-2], :]
+        out = nn.Conv(n_out, kernel_size=(3,), padding="SAME")(laterals[0])
+        return out[..., -1, :]  # last token
+
+
+class StateAttentionEncoder(nn.Module):
+    """Ego current-state encoder with per-channel tokens + attention pooling
+    and train-time channel dropout (reference agent_encoder.py:97-140)."""
+
+    state_channel: int
+    dim: int
+    state_dropout: float = 0.75
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        # x: (B, state_channel)
+        tokens = []
+        for i in range(self.state_channel):
+            tokens.append(nn.Dense(self.dim, name=f"proj{i}")(x[..., i : i + 1]))
+        h = jnp.stack(tokens, axis=-2)  # (B, C, dim)
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02), (1, self.state_channel, self.dim)
+        )
+        h = h + pos
+        query = self.param("query", nn.initializers.normal(0.02), (1, 1, self.dim))
+        q = jnp.broadcast_to(query, h.shape[:-2] + (1, self.dim))
+
+        key_padding = None
+        if not deterministic and self.state_dropout > 0:
+            import jax
+
+            rng = self.make_rng("dropout")
+            # first 3 channels (x, y, heading) always visible
+            drop = (
+                jax.random.uniform(rng, h.shape[:-2] + (self.state_channel - 3,))
+                < self.state_dropout
+            )
+            key_padding = jnp.concatenate(
+                [jnp.zeros(h.shape[:-2] + (3,), bool), drop], axis=-1
+            )
+
+        out = Attention(self.dim, num_heads=4)(
+            q, h, h, key_padding_mask=key_padding, deterministic=deterministic
+        )
+        return out[..., 0, :]

@@ -1,0 +1,432 @@
+"""Pluto planner in Flax.
+
+Architecture parity with the reference PlanningModel
+(rift/cbv/planning/pluto/model/pluto_model.py: dim 128, 21 history steps, 80
+future steps, 4 encoder + 4 decoder layers, 12 modes, reference-line x mode
+query decoder with a trainable `pi` head), rebuilt for TPU: everything is
+dense, masked, static-shape; boolean indexing becomes where-masking; natten
+becomes banded attention (see layers.py).
+
+Feature dict layout (produced by rift_tpu.models.pluto.features):
+  agent:     position [B,A,T,2] heading [B,A,T] velocity [B,A,T,2]
+             shape [B,A,T,2] category [B,A] valid_mask [B,A,T]
+  map:       point_position [B,M,3,P,2] point_vector [B,M,3,P,2]
+             point_orientation [B,M,3,P] polygon_center [B,M,3]
+             polygon_type/on_route/tl_status/has_speed_limit/speed_limit [B,M]
+             valid_mask [B,M,P]
+  reference_line: position [B,R,N,2] vector [B,R,N,2] orientation [B,R,N]
+             valid_mask [B,R,N]
+  static_objects: position [B,N_s,2] heading [B,N_s] shape [B,N_s,2]
+             category [B,N_s] valid_mask [B,N_s]
+  current_state: [B, 7]
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import (
+    Attention,
+    FourierEmbedding,
+    HistoryEncoder,
+    MLPLayer,
+    PointsEncoder,
+    StateAttentionEncoder,
+    TransformerEncoderLayer,
+)
+
+
+def _wrap(a):
+    return (a + math.pi) % (2 * math.pi) - math.pi
+
+
+class AgentEncoder(nn.Module):
+    """Vectorized history differences -> temporal encoder -> agent tokens
+    (reference modules/agent_encoder.py)."""
+
+    dim: int = 128
+    state_channel: int = 6
+    hist_steps: int = 21
+    drop_path: float = 0.2
+    state_dropout: float = 0.75
+
+    @nn.compact
+    def __call__(self, data, deterministic: bool = True):
+        T = self.hist_steps
+        position = data["agent"]["position"][:, :, :T]
+        heading = data["agent"]["heading"][:, :, :T]
+        velocity = data["agent"]["velocity"][:, :, :T]
+        shape = data["agent"]["shape"][:, :, :T]
+        category = data["agent"]["category"].astype(jnp.int32)
+        valid_mask = data["agent"]["valid_mask"][:, :, :T]
+
+        vec_mask = valid_mask[..., :-1] & valid_mask[..., 1:]
+
+        def to_vec(feat):
+            d = feat[:, :, 1:] - feat[:, :, :-1]
+            m = vec_mask
+            while m.ndim < d.ndim:
+                m = m[..., None]
+            return jnp.where(m, d, 0.0)
+
+        heading_vec = to_vec(heading)
+        feat = jnp.concatenate(
+            [
+                to_vec(position),
+                to_vec(velocity),
+                jnp.stack([jnp.cos(heading_vec), jnp.sin(heading_vec)], axis=-1),
+                shape[:, :, 1:],
+                vec_mask[..., None].astype(jnp.float32),
+            ],
+            axis=-1,
+        )  # [B, A, T-1, 9]
+        B, A, Tm1, C = feat.shape
+        x = HistoryEncoder(embed_dim=self.dim // 4, drop_path_rate=self.drop_path)(
+            feat.reshape(B * A, Tm1, C), deterministic
+        ).reshape(B, A, self.dim)
+        x = jnp.where(valid_mask.any(-1)[..., None], x, 0.0)
+
+        # ego token from current state channels (use_ego_history=False path)
+        ego = StateAttentionEncoder(
+            self.state_channel, self.dim, self.state_dropout
+        )(data["current_state"][:, : self.state_channel], deterministic)
+        x = x.at[:, 0].set(ego)
+
+        type_emb = nn.Embed(4, self.dim)(category)
+        return x + type_emb
+
+
+class MapEncoder(nn.Module):
+    """Polygon tokens from boundary-aware point features
+    (reference modules/map_encoder.py, use_lane_boundary=True)."""
+
+    dim: int = 128
+
+    @nn.compact
+    def __call__(self, data):
+        m = data["map"]
+        center = m["polygon_center"]  # [B, M, 3]
+        pt_pos = m["point_position"]  # [B, M, 3, P, 2]
+        pt_vec = m["point_vector"]
+        pt_ori = m["point_orientation"]
+        valid = m["valid_mask"]  # [B, M, P]
+
+        feat = jnp.concatenate(
+            [
+                pt_pos[:, :, 0] - center[..., None, :2],
+                pt_vec[:, :, 0],
+                jnp.stack(
+                    [jnp.cos(pt_ori[:, :, 0]), jnp.sin(pt_ori[:, :, 0])], axis=-1
+                ),
+                pt_pos[:, :, 1] - pt_pos[:, :, 0],
+                pt_pos[:, :, 2] - pt_pos[:, :, 0],
+            ],
+            axis=-1,
+        )  # [B, M, P, 10]
+        x = PointsEncoder(self.dim)(feat, valid)
+
+        x = x + nn.Embed(3, self.dim, name="type_emb")(m["polygon_type"].astype(jnp.int32))
+        x = x + nn.Embed(2, self.dim, name="on_route_emb")(
+            m["polygon_on_route"].astype(jnp.int32)
+        )
+        x = x + nn.Embed(4, self.dim, name="tl_emb")(
+            m["polygon_tl_status"].astype(jnp.int32)
+        )
+        speed_emb = FourierEmbedding(self.dim, 64, name="speed_emb")(
+            m["polygon_speed_limit"][..., None]
+        )
+        unknown = self.param(
+            "unknown_speed_emb", nn.initializers.normal(0.02), (self.dim,)
+        )
+        has = m["polygon_has_speed_limit"][..., None]
+        x = x + jnp.where(has, speed_emb, unknown)
+        return x
+
+
+class StaticObjectsEncoder(nn.Module):
+    """(reference modules/static_objects_encoder.py)"""
+
+    dim: int = 128
+
+    @nn.compact
+    def __call__(self, data):
+        so = data["static_objects"]
+        pos, heading = so["position"], so["heading"]
+        emb = FourierEmbedding(self.dim, 64)(so["shape"]) + nn.Embed(4, self.dim)(
+            so["category"].astype(jnp.int32)
+        )
+        valid = so["valid_mask"]
+        emb = jnp.where(valid[..., None], emb, 0.0)
+        obj_pos = jnp.concatenate([pos, _wrap(heading)[..., None]], axis=-1)
+        return emb, obj_pos, ~valid
+
+
+class AgentPredictor(nn.Module):
+    dim: int = 128
+    future_steps: int = 80
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, _ = x.shape
+        loc = MLPLayer(2 * self.dim, self.future_steps * 2)(x)
+        yaw = MLPLayer(2 * self.dim, self.future_steps * 2)(x)
+        vel = MLPLayer(2 * self.dim, self.future_steps * 2)(x)
+        out = jnp.concatenate(
+            [
+                loc.reshape(B, N, self.future_steps, 2),
+                yaw.reshape(B, N, self.future_steps, 2),
+                vel.reshape(B, N, self.future_steps, 2),
+            ],
+            axis=-1,
+        )
+        return out
+
+
+class DecoderLayer(nn.Module):
+    """R2R self-attn, M2M self-attn, cross-attn, FFN
+    (reference modules/planning_decoder.py:DecoderLayer)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: int
+    dropout: float
+
+    @nn.compact
+    def __call__(
+        self, tgt, memory, r_key_padding, memory_key_padding, m_pos, deterministic=True
+    ):
+        B, R, M, D = tgt.shape
+        # r2r: attend across reference lines (batched over modes)
+        h = nn.LayerNorm()(tgt)
+        h = h.transpose(0, 2, 1, 3).reshape(B * M, R, D)
+        pad = jnp.repeat(r_key_padding, M, axis=0)  # (B*M, R)
+        h = Attention(self.dim, self.num_heads, self.dropout, name="r2r")(
+            h, key_padding_mask=pad, deterministic=deterministic
+        )
+        h = h.reshape(B, M, R, D).transpose(0, 2, 1, 3)
+        tgt = tgt + h
+
+        # m2m: attend across modes (batched over reference lines)
+        h = nn.LayerNorm()(tgt)
+        h = h.reshape(B * R, M, D)
+        hq = h + m_pos
+        h = Attention(self.dim, self.num_heads, self.dropout, name="m2m")(
+            hq, hq, h, deterministic=deterministic
+        )
+        h = h.reshape(B, R, M, D)
+        h = jnp.where(r_key_padding[:, :, None, None], 0.0, h)
+        tgt = tgt + h
+
+        # cross-attention to the scene encoding
+        h = nn.LayerNorm()(tgt).reshape(B, R * M, D)
+        h = Attention(self.dim, self.num_heads, self.dropout, name="cross")(
+            h, memory, memory,
+            key_padding_mask=memory_key_padding,
+            deterministic=deterministic,
+        ).reshape(B, R, M, D)
+        tgt = tgt + h
+
+        h = nn.LayerNorm()(tgt)
+        h = nn.Dense(self.dim * self.mlp_ratio)(h)
+        h = nn.relu(h)
+        h = nn.Dense(self.dim)(h)
+        return tgt + h
+
+
+class PlanningDecoder(nn.Module):
+    """(reference modules/planning_decoder.py:PlanningDecoder)"""
+
+    num_modes: int = 12
+    depth: int = 4
+    dim: int = 128
+    num_heads: int = 4
+    mlp_ratio: int = 4
+    dropout: float = 0.1
+    future_steps: int = 80
+    cat_x: bool = True
+
+    @nn.compact
+    def __call__(self, data, enc_emb, enc_key_padding, deterministic=True):
+        r = data["reference_line"]
+        r_pos, r_vec, r_ori, r_valid = (
+            r["position"],
+            r["vector"],
+            r["orientation"],
+            r["valid_mask"],
+        )
+        r_key_padding = ~r_valid.any(-1)  # (B, R)
+
+        feat = jnp.concatenate(
+            [
+                r_pos - r_pos[..., 0:1, :],
+                r_vec,
+                jnp.stack([jnp.cos(r_ori), jnp.sin(r_ori)], axis=-1),
+            ],
+            axis=-1,
+        )  # (B, R, N, 6)
+        r_emb = PointsEncoder(self.dim, name="r_encoder")(feat, r_valid)
+        r_pos_feat = jnp.concatenate(
+            [r_pos[:, :, 0], r_ori[:, :, 0, None]], axis=-1
+        )
+        r_emb = r_emb + FourierEmbedding(self.dim, 64, name="r_pos_emb")(r_pos_feat)
+
+        B, R, _ = r_emb.shape
+        M = self.num_modes
+        m_emb = self.param("m_emb", nn.initializers.normal(0.01), (1, 1, M, self.dim))
+        m_pos = self.param("m_pos", nn.initializers.normal(0.01), (1, M, self.dim))
+
+        q = jnp.concatenate(
+            [jnp.broadcast_to(r_emb[:, :, None], (B, R, M, self.dim)),
+             jnp.broadcast_to(m_emb, (B, R, M, self.dim))],
+            axis=-1,
+        )
+        q = nn.Dense(self.dim, name="q_proj")(q)
+
+        for i in range(self.depth):
+            q = DecoderLayer(
+                self.dim, self.num_heads, self.mlp_ratio, self.dropout,
+                name=f"layer{i}",
+            )(q, enc_emb, r_key_padding, enc_key_padding, m_pos, deterministic)
+
+        if self.cat_x:
+            x0 = enc_emb[:, 0][:, None, None]
+            q = nn.Dense(self.dim, name="cat_x_proj")(
+                jnp.concatenate(
+                    [q, jnp.broadcast_to(x0, (B, R, M, self.dim))], axis=-1
+                )
+            )
+
+        loc = MLPLayer(2 * self.dim, self.future_steps * 2, name="loc_head")(q)
+        yaw = MLPLayer(2 * self.dim, self.future_steps * 2, name="yaw_head")(q)
+        vel = MLPLayer(2 * self.dim, self.future_steps * 2, name="vel_head")(q)
+        pi = MLPLayer(self.dim, 1, name="pi_head")(q)[..., 0]  # (B, R, M)
+
+        traj = jnp.concatenate(
+            [
+                loc.reshape(B, R, M, self.future_steps, 2),
+                yaw.reshape(B, R, M, self.future_steps, 2),
+                vel.reshape(B, R, M, self.future_steps, 2),
+            ],
+            axis=-1,
+        )
+        return traj, pi
+
+
+class PlutoModel(nn.Module):
+    """The full planner (reference pluto_model.py:PlanningModel)."""
+
+    dim: int = 128
+    state_channel: int = 6
+    history_steps: int = 21
+    future_steps: int = 80
+    encoder_depth: int = 4
+    decoder_depth: int = 4
+    num_heads: int = 4
+    num_modes: int = 12
+    drop_path: float = 0.2
+    dropout: float = 0.1
+    state_dropout: float = 0.75
+    use_hidden_proj: bool = True
+    ref_free_traj: bool = True
+
+    @nn.compact
+    def __call__(self, data: Dict[str, Any], deterministic: bool = True):
+        agent_pos = data["agent"]["position"][:, :, self.history_steps - 1]
+        agent_heading = data["agent"]["heading"][:, :, self.history_steps - 1]
+        agent_mask = data["agent"]["valid_mask"][:, :, : self.history_steps]
+        polygon_center = data["map"]["polygon_center"]
+        polygon_mask = data["map"]["valid_mask"]
+
+        B, A = agent_pos.shape[:2]
+
+        position = jnp.concatenate([agent_pos, polygon_center[..., :2]], axis=1)
+        angle = jnp.concatenate([agent_heading, polygon_center[..., 2]], axis=1)
+        pos = jnp.concatenate([position, _wrap(angle)[..., None]], axis=-1)
+
+        agent_key_padding = ~agent_mask.any(-1)
+        polygon_key_padding = ~polygon_mask.any(-1)
+
+        x_agent = AgentEncoder(
+            self.dim, self.state_channel, self.history_steps,
+            self.drop_path, self.state_dropout,
+        )(data, deterministic)
+        x_polygon = MapEncoder(self.dim)(data)
+        x_static, static_pos, static_key_padding = StaticObjectsEncoder(self.dim)(data)
+
+        x = jnp.concatenate([x_agent, x_polygon, x_static], axis=1)
+        pos = jnp.concatenate([pos, static_pos], axis=1)
+        key_padding_mask = jnp.concatenate(
+            [agent_key_padding, polygon_key_padding, static_key_padding], axis=-1
+        )
+        x = x + FourierEmbedding(self.dim, 64, name="pos_emb")(pos)
+
+        for i in range(self.encoder_depth):
+            rate = self.drop_path * i / max(self.encoder_depth - 1, 1)
+            x = TransformerEncoderLayer(
+                self.dim, self.num_heads, drop_path_rate=rate, name=f"enc{i}"
+            )(x, key_padding_mask=key_padding_mask, deterministic=deterministic)
+        x = nn.LayerNorm(name="enc_norm")(x)
+
+        prediction = AgentPredictor(self.dim, self.future_steps, name="agent_predictor")(
+            x[:, 1:A]
+        )
+
+        trajectory, probability = PlanningDecoder(
+            self.num_modes, self.decoder_depth, self.dim, self.num_heads,
+            4, self.dropout, self.future_steps, cat_x=True,
+            name="planning_decoder",
+        )(data, x, key_padding_mask, deterministic)
+
+        out = {
+            "trajectory": trajectory,  # (B, R, M, T, 6)
+            "probability": probability,  # (B, R, M)
+            "prediction": prediction,  # (B, A-1, T, 6)
+        }
+
+        if self.use_hidden_proj:
+            h = nn.Dense(self.dim, name="hidden_proj_fc1")(x[:, 0])
+            h = nn.relu(h)
+            out["hidden"] = nn.Dense(self.dim, name="hidden_proj_fc2")(h)
+
+        if self.ref_free_traj:
+            rf = MLPLayer(2 * self.dim, self.future_steps * 4, name="ref_free_decoder")(
+                x[:, 0]
+            ).reshape(B, self.future_steps, 4)
+            out["ref_free_trajectory"] = rf
+            rf_angle = jnp.arctan2(rf[..., 3], rf[..., 2])
+            out["output_ref_free_trajectory"] = jnp.concatenate(
+                [rf[..., :2], rf_angle[..., None]], axis=-1
+            )
+
+        # world-frame prediction outputs (reference pluto_model.py:190-199)
+        out["output_prediction"] = jnp.concatenate(
+            [
+                prediction[..., :2] + agent_pos[:, 1:A, None],
+                (
+                    jnp.arctan2(prediction[..., 3], prediction[..., 2])
+                    + agent_heading[:, 1:A, None]
+                )[..., None],
+                prediction[..., 4:6],
+            ],
+            axis=-1,
+        )
+
+        # mask invalid reference lines, emit best trajectory
+        r_padding = ~data["reference_line"]["valid_mask"].any(-1)  # (B, R)
+        probability = jnp.where(r_padding[:, :, None], -1e6, probability)
+        out["probability"] = probability
+
+        angle = jnp.arctan2(trajectory[..., 3], trajectory[..., 2])
+        out_traj = jnp.concatenate([trajectory[..., :2], angle[..., None]], axis=-1)
+        R, M = out_traj.shape[1:3]
+        flat_prob = probability.reshape(B, R * M)
+        best = jnp.argmax(flat_prob, axis=-1)
+        out["output_trajectory"] = out_traj.reshape(B, R * M, self.future_steps, 3)[
+            jnp.arange(B), best
+        ]
+        out["candidate_trajectories"] = out_traj
+        return out
