@@ -1,0 +1,129 @@
+"""Fine-tune trainer: optax update loop over the on-device buffer.
+
+Replaces the reference's per-round Lightning engine
+(rift/cbv/planning/fine_tuner/training_builder.py + rlft_pluto.py:206-247:
+fresh Trainer per buffer-full event, checkpoint round-trip through disk,
+manual GPU memory frees) with a jitted optax train step. The weight swap back
+into the inference policy is a pytree assignment — params never leave the
+device.
+
+Hyperparameters mirror rlft/config/rift_training.yaml: lr 1e-4, 16 epochs,
+3 warmup epochs, grad clip 0.5, batch 256, closed-loop lr decay 0.9 per
+round, trainable layers = planning_decoder.pi_head only.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from .buffer import RingBuffer, gather_batch, sample_batches
+
+
+@struct.dataclass
+class TrainConfig:
+    lr: float = 1e-4
+    weight_decay: float = 1e-4
+    epochs: int = 16
+    warmup_epochs: int = 3
+    batch_size: int = 256
+    grad_clip: float = 0.5
+    cl_lr_decay: float = 0.9
+    trainable_prefixes: tuple = ("planning_decoder/pi_head",)
+
+
+def _path_str(path) -> str:
+    return "/".join(getattr(k, "key", str(k)) for k in path)
+
+
+def trainable_mask(params: Any, prefixes: tuple) -> Any:
+    """Pytree of bools: True where the param path matches a trainable prefix
+    (the reference's freeze_parameters, rift_trainer.py:78-90)."""
+    if not prefixes:
+        return jax.tree.map(lambda _: True, params)
+
+    def mark(path, _):
+        p = _path_str(path)
+        return any(pref in p for pref in prefixes)
+
+    return jax.tree_util.tree_map_with_path(mark, params)
+
+
+def warmup_cosine(lr: float, min_lr: float, total_steps: int, warmup_steps: int):
+    """WarmupCosLR equivalent (rift/cbv/planning/pluto/optim/warmup_cos_lr.py)."""
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=lr,
+        warmup_steps=max(warmup_steps, 1),
+        decay_steps=max(total_steps, 2),
+        end_value=min_lr,
+    )
+
+
+def make_optimizer(params: Any, cfg: TrainConfig, steps_per_epoch: int, round_idx: int = 0):
+    lr = cfg.lr * (cfg.cl_lr_decay**round_idx)
+    schedule = warmup_cosine(
+        lr,
+        lr * cfg.cl_lr_decay,
+        cfg.epochs * steps_per_epoch,
+        cfg.warmup_epochs * steps_per_epoch,
+    )
+    mask = trainable_mask(params, cfg.trainable_prefixes)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(schedule, weight_decay=cfg.weight_decay),
+    )
+    labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, labels
+    )
+
+
+def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation):
+    """loss_fn(params, batch, rng) -> scalar."""
+
+    @jax.jit
+    def train_step(params, opt_state, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def fit(
+    params: Any,
+    buf: RingBuffer,
+    loss_fn: Callable,
+    cfg: TrainConfig,
+    rng: jax.Array,
+    round_idx: int = 0,
+):
+    """Run the full fine-tune: `epochs` passes of shuffled batches.
+
+    Returns (new_params, mean losses per epoch list).
+    """
+    size = int(buf.size)
+    steps_per_epoch = max(size // cfg.batch_size, 1)
+    tx = make_optimizer(params, cfg, steps_per_epoch, round_idx)
+    opt_state = tx.init(params)
+    train_step = make_train_step(loss_fn, tx)
+
+    epoch_losses = []
+    for epoch in range(cfg.epochs):
+        rng, krng = jax.random.split(rng)
+        idx = sample_batches(buf, krng, cfg.batch_size, steps_per_epoch)
+        losses = []
+        for b in range(steps_per_epoch):
+            rng, srng = jax.random.split(rng)
+            batch = gather_batch(buf, idx[b])
+            params, opt_state, loss = train_step(params, opt_state, batch, srng)
+            losses.append(loss)
+        epoch_losses.append(float(jnp.stack(losses).mean()))
+    return params, epoch_losses
