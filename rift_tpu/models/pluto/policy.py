@@ -1,0 +1,173 @@
+"""Pluto CBV policy: the on-device rollout driver.
+
+Replaces the reference's PLUTO / RIFTPluto policy objects
+(rift/cbv/planning/pluto/pluto.py:78-259,
+rift/cbv/planning/fine_tuner/rlft/rift_pluto/rift_pluto.py:28-161): per-env
+Python loops, `.cpu().numpy()` readbacks and per-CBV PID objects become one
+jitted program: features -> model forward -> candidate selection -> local
+tracking waypoints, plus (in train mode) the fused GRPO advantage — all
+without leaving the device.
+
+Candidate selection follows _trim_candidates (pluto.py:196-247): softmax over
+the top-k flattened R*M probabilities, with the ref-free trajectory appended
+at fixed score 0.25; the executed action is the argmax.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ...map.tensor_map import TensorMap
+from ...rl.evaluator import NUM_FRAMES, grpo_advantage
+from ...scenario.recognition import cbv_route_masks, cbv_slot_assignment
+from ...sim.state import ScenarioSpec, SimState
+from .features import build_cbv_features
+
+TOPK = 10  # reference config rift_pluto.yaml topk
+REF_FREE_SCORE = 0.25
+NUM_NEIGHBORS = 8  # forecast neighbors per CBV in train mode
+
+
+def select_trajectory(out: dict, topk: int = TOPK):
+    """Executed trajectory per batch element.
+
+    Returns (traj [B, T, 3] local frame, chosen_flat_idx [B], use_ref_free [B]).
+    """
+    prob = out["probability"]  # [B, R, M] (invalid R already -1e6)
+    B, R, M = prob.shape
+    flat = prob.reshape(B, R * M)
+    k = min(topk, R * M)
+    top_vals, top_idx = jax.lax.top_k(flat, k)
+    sm = jax.nn.softmax(top_vals, axis=-1)
+    best_cand_score = sm[:, 0]
+    use_ref_free = best_cand_score < REF_FREE_SCORE
+
+    cand = out["candidate_trajectories"].reshape(B, R * M, -1, 3)
+    best_idx = top_idx[:, 0]
+    best_cand = cand[jnp.arange(B), best_idx]
+    if "output_ref_free_trajectory" in out:
+        traj = jnp.where(
+            use_ref_free[:, None, None], out["output_ref_free_trajectory"], best_cand
+        )
+    else:
+        traj = best_cand
+        use_ref_free = jnp.zeros(B, bool)
+    return traj, best_idx, use_ref_free
+
+
+def _neighbor_states(state: SimState, scenario, slot, n_nbr: int):
+    """The CBV's nearest alive agents (train-mode forecast inputs)."""
+    pos = state.pos[scenario]
+    A = pos.shape[0]
+    d = jnp.linalg.norm(pos - pos[slot], axis=-1)
+    d = jnp.where(state.alive[scenario] & (jnp.arange(A) != slot), d, jnp.inf)
+    k = min(n_nbr, A)
+    neg, idx = jax.lax.top_k(-d, k)
+    valid = jnp.isfinite(-neg)
+    if k < n_nbr:
+        idx = jnp.pad(idx, (0, n_nbr - k))
+        valid = jnp.pad(valid, (0, n_nbr - k))
+    return (
+        state.pos[scenario][idx],
+        state.heading[scenario][idx],
+        state.speed[scenario][idx],
+        state.control[scenario][idx],
+        state.shape[scenario][idx],
+        valid,
+    )
+
+
+@partial(jax.jit, static_argnames=("model", "max_cbvs", "train", "topk"))
+def pluto_cbv_act(
+    model: Any,
+    params: Any,
+    tmap: TensorMap,
+    spec: ScenarioSpec,
+    state: SimState,
+    max_cbvs: int = 3,
+    train: bool = False,
+    topk: int = TOPK,
+):
+    """Plan all CBVs of all scenarios.
+
+    Returns dict:
+      traj [S, A, T, 2]  local waypoints scattered into agent slots
+      mask [S, A]        which agents are CBV-controlled this tick
+      features           the [S, C]-leading feature pytree (for the buffer)
+      cbv_slots [S, C]
+      old_logits [S, C, R, M], advantage [S, C, R, M], adv_valid [S, C, R, M]
+        (train mode only; zeros otherwise)
+    """
+    S, A = state.alive.shape
+    cbv_slots = cbv_slot_assignment(state.is_cbv, max_cbvs)  # [S, C]
+    C = cbv_slots.shape[1]
+    route_masks = cbv_route_masks(tmap, spec, state, cbv_slots)  # [S, C, L]
+
+    feats, slot_valid = build_cbv_features(tmap, state, cbv_slots, route_masks)
+    flat_feats = jax.tree.map(lambda x: x.reshape((S * C,) + x.shape[2:]), feats)
+    out = model.apply(params, flat_feats)
+
+    traj3, chosen_idx, _ = select_trajectory(out, topk)
+    wp = traj3[..., :2]  # [S*C, T, 2] local-frame waypoints
+
+    # scatter into the [S, A] agent layout
+    T = wp.shape[-2]
+    wp_sc = wp.reshape(S, C, T, 2)
+    traj = jnp.zeros((S, A, T, 2))
+    slot = jnp.maximum(cbv_slots, 0)
+    traj = jax.vmap(
+        lambda t, sl, w, v: t.at[sl].set(
+            jnp.where(v[:, None, None], w, t[sl])
+        )
+    )(traj, slot, wp_sc, slot_valid)
+    mask = jnp.zeros((S, A), bool)
+    mask = jax.vmap(
+        lambda m, sl, v: m.at[sl].set(v | m[sl])
+    )(mask, slot, slot_valid)
+    mask = mask.at[:, 0].set(False)  # slot 0 is the ego
+
+    result = {
+        "traj": traj,
+        "mask": mask,
+        "features": feats,
+        "cbv_slots": cbv_slots,
+        "chosen_idx": chosen_idx.reshape(S, C),
+    }
+
+    R, M = out["probability"].shape[1:3]
+    if train:
+        prob = out["probability"].reshape(S, C, R, M)
+
+        def one_adv(scenario, slot_, feats_one, traj_rm):
+            nbr = _neighbor_states(state, scenario, slot_, NUM_NEIGHBORS)
+            rl = feats_one["reference_line"]
+            return grpo_advantage(
+                tmap,
+                traj_rm,
+                rl["valid_mask"].any(-1),
+                rl["position"],
+                rl["orientation"],
+                rl["valid_mask"],
+                state.pos[scenario, slot_],
+                state.heading[scenario, slot_],
+                state.speed[scenario, slot_],
+                state.shape[scenario, slot_],
+                *nbr,
+            )
+
+        scen = jnp.broadcast_to(jnp.arange(S)[:, None], (S, C))
+        traj_rm = out["trajectory"].reshape(S, C, R, M, -1, 6)
+        adv = jax.vmap(jax.vmap(one_adv))(scen, slot, feats, traj_rm)
+        result["old_logits"] = prob
+        result["advantage"] = adv["advantage"]
+        result["adv_valid"] = adv["valid_mask"] & slot_valid[..., None, None]
+    else:
+        result["old_logits"] = jnp.zeros((S, C, R, M))
+        result["advantage"] = jnp.zeros((S, C, R, M))
+        result["adv_valid"] = jnp.zeros((S, C, R, M), bool)
+
+    return result

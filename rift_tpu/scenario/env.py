@@ -1,0 +1,303 @@
+"""TrafficEnv: batched closed-loop scenarios on one device program.
+
+The gym-layer replacement (rift/gym_carla/envs/carla_env.py +
+env_wrapper.py): instead of N CarlaEnv objects sharing one CARLA world with a
+two-phase step around `world.tick()`, every scenario lives in the [S] axis of
+one SimState and `env_step` advances all of them in a single jitted call —
+controls, dynamics, criteria, CBV recognition and churn fused together.
+
+Reset is host-side (route sampling, spawning — episode-rare work), mirroring
+RouteScenario setup (rift/scenario/scenario_manager/route_scenario.py:125-186:
+ego at route start, background vehicles spawned around the route).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ego.rule_ego import rule_ego_waypoints
+from ..map.routing import (
+    nearest_lane_host,
+    route_road_lane_ids,
+    route_waypoints,
+    trace_route,
+)
+from ..map.tensor_map import TensorMap
+from ..sim.state import ScenarioSpec, SimState, init_sim_state
+from ..sim.world import cbv_reached_goal, step as world_step
+from .criteria import CriteriaState, init_criteria, update_criteria
+from .recognition import (
+    RECOG_INTERVAL,
+    RECOG_WARMUP_TICKS,
+    recognize_cbvs,
+)
+
+ROUTE_PAD = 1024  # max route waypoints (1 m spacing -> 1 km routes)
+RIDS_PAD = 64
+BV_SPACING_MIN = 12.0  # min distance between spawned vehicles
+EGO_CLEARANCE = 15.0  # no BV spawned this close to the ego start
+TIMEOUT_SEC_PER_M = 1.0  # reference: 1 s per route meter (route_scenario.py:110)
+
+
+# ---------------------------------------------------------------------------
+# Reset (host)
+# ---------------------------------------------------------------------------
+def sample_route(tmap: TensorMap, rng: np.random.Generator, min_length: float = 200.0):
+    """Random drivable route on the map (host). Returns (waypoints [N,3],
+    lane_path)."""
+    valid = np.flatnonzero(np.asarray(tmap.valid))
+    for _ in range(64):
+        start, goal = rng.choice(valid, 2, replace=False)
+        path, dist = trace_route(tmap, int(start), int(goal))
+        if path is not None and dist >= min_length:
+            return route_waypoints(tmap, path), path
+    # fall back to the longest straight chain from a random lane
+    start = int(rng.choice(valid))
+    path = [start]
+    succ = np.asarray(tmap.successors)
+    while len(path) < 16:
+        nxt = succ[path[-1], 0]
+        if nxt < 0:
+            break
+        path.append(int(nxt))
+    return route_waypoints(tmap, path), path
+
+
+def make_scenario_spec(
+    tmap: TensorMap,
+    routes: list[np.ndarray],
+    lane_paths: list[list[int]],
+    ego_target_speed: float = 8.0,
+    fps: int = 10,
+) -> ScenarioSpec:
+    S = len(routes)
+    ego_route = np.zeros((S, ROUTE_PAD, 3), np.float32)
+    ego_route_len = np.zeros(S, np.int32)
+    rr = np.full((S, RIDS_PAD), -1, np.int32)
+    rl = np.zeros((S, RIDS_PAD), np.int32)
+    timeout = np.zeros(S, np.int32)
+    for i, (wps, path) in enumerate(zip(routes, lane_paths)):
+        n = min(len(wps), ROUTE_PAD)
+        ego_route[i, :n] = wps[:n]
+        # pad tail with the final waypoint so interpolation stays put
+        ego_route[i, n:] = wps[n - 1] if n > 0 else 0.0
+        ego_route_len[i] = n
+        rr[i], rl[i] = route_road_lane_ids(tmap, path, pad_to=RIDS_PAD)
+        timeout[i] = int(n * TIMEOUT_SEC_PER_M * fps)
+    return ScenarioSpec(
+        ego_route=jnp.asarray(ego_route),
+        ego_route_len=jnp.asarray(ego_route_len),
+        route_road_ids=jnp.asarray(rr),
+        route_lane_ids=jnp.asarray(rl),
+        ego_target_speed=jnp.full((S,), ego_target_speed, jnp.float32),
+        timeout_ticks=jnp.asarray(timeout),
+    )
+
+
+def spawn_agents(
+    tmap: TensorMap,
+    spec: ScenarioSpec,
+    num_agents: int,
+    rng: np.random.Generator,
+    traffic_intensity: float = 0.6,
+) -> SimState:
+    """Place the ego at each route start and background vehicles on lane
+    points near the route (filter_spawn_points semantics,
+    rift/gym_carla/utils/common.py:72-133: seeded sampling, spacing filter,
+    ego-clearance filter)."""
+    S = int(spec.ego_route_len.shape[0])
+    A = num_agents
+    ego_route = np.asarray(spec.ego_route)
+    route_len = np.asarray(spec.ego_route_len)
+    centerline = np.asarray(tmap.centerline)
+    headings_l = np.asarray(tmap.headings)
+    valid_lanes = np.asarray(tmap.valid)
+
+    pos = np.zeros((S, A, 2), np.float32)
+    heading = np.zeros((S, A), np.float32)
+    alive = np.zeros((S, A), bool)
+    bits = rng.integers(0, 2**32, size=(S, A), dtype=np.uint32)
+
+    for s in range(S):
+        n = int(route_len[s])
+        start = ego_route[s, 0]
+        pos[s, 0] = start[:2]
+        heading[s, 0] = start[2]
+        alive[s, 0] = True
+        placed = [start[:2]]
+
+        # candidate spawn points: lane centerline vertices within 100 m of a
+        # random subset of route waypoints
+        wp_sel = ego_route[s, rng.integers(0, max(n, 1), size=64), :2]
+        flat = centerline[valid_lanes].reshape(-1, 2)
+        flat_h = headings_l[valid_lanes].reshape(-1)
+        d = np.linalg.norm(
+            flat[None, :, :] - wp_sel[:, None, :], axis=-1
+        ).min(0)
+        cand = np.flatnonzero(d < 100.0)
+        rng.shuffle(cand)
+        n_bv = min(A - 1, int(traffic_intensity * (A - 1)) + 1)
+        k = 1
+        for ci in cand:
+            if k > n_bv:
+                break
+            p = flat[ci]
+            if np.linalg.norm(p - pos[s, 0]) < EGO_CLEARANCE:
+                continue
+            if any(np.linalg.norm(p - q) < BV_SPACING_MIN for q in placed):
+                continue
+            pos[s, k] = p
+            heading[s, k] = flat_h[ci]
+            alive[s, k] = True
+            placed.append(p)
+            k += 1
+
+    state = init_sim_state(S, A, rng=jnp.asarray(
+        rng.integers(0, 2**32, size=(S, 2), dtype=np.uint32)
+    ))
+    posj = jnp.asarray(pos)
+    state = state.replace(
+        pos=posj,
+        heading=jnp.asarray(heading),
+        alive=jnp.asarray(alive),
+        lane=tmap.nearest_lane(posj),
+        bv_branch_bits=jnp.asarray(bits),
+        hist_pos=state.hist_pos.at[:, :, -1].set(posj),
+        hist_heading=state.hist_heading.at[:, :, -1].set(jnp.asarray(heading)),
+        hist_valid=state.hist_valid.at[:, :, -1].set(jnp.asarray(alive)),
+    )
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Step (device)
+# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("max_cbvs", "dt"))
+def env_step(
+    tmap: TensorMap,
+    spec: ScenarioSpec,
+    state: SimState,
+    crit: CriteriaState,
+    cbv_traj: jnp.ndarray | None = None,  # [S, A, T, 2] local waypoints
+    cbv_traj_mask: jnp.ndarray | None = None,  # [S, A]
+    ego_traj: jnp.ndarray | None = None,  # [S, T, 2] (learned egos)
+    max_cbvs: int = 3,
+    dt: float = 0.1,
+):
+    """One full environment tick for every scenario."""
+    S, A = state.alive.shape
+
+    # ---- ego control: rule ego unless a trajectory is provided
+    if ego_traj is None:
+        ego_traj = rule_ego_waypoints(spec, state, dt)
+    T = ego_traj.shape[-2]
+    traj = jnp.zeros((S, A, T, 2))
+    traj = traj.at[:, 0].set(ego_traj)
+    traj_mask = jnp.zeros((S, A), bool).at[:, 0].set(True)
+    if cbv_traj is not None:
+        Tc = cbv_traj.shape[-2]
+        Tm = max(T, Tc)
+
+        def pad_t(x, n):
+            return jnp.concatenate(
+                [x, jnp.repeat(x[..., -1:, :], n - x.shape[-2], axis=-2)], axis=-2
+            ) if x.shape[-2] < n else x
+
+        traj = pad_t(traj, Tm)
+        cbv_traj = pad_t(cbv_traj, Tm)
+        traj = jnp.where(cbv_traj_mask[..., None, None], cbv_traj, traj)
+        traj_mask |= cbv_traj_mask
+
+    # freeze finished scenarios: everything brakes
+    frozen = crit.done
+    ctrl = jnp.zeros((S, A, 3)).at[..., 2].set(1.0)
+    ctrl_mask = jnp.broadcast_to(frozen[:, None], (S, A))
+
+    state = world_step(
+        tmap, spec, state,
+        traj=traj, traj_mask=traj_mask & ~ctrl_mask,
+        ctrl=ctrl, ctrl_mask=ctrl_mask,
+        dt=dt,
+    )
+
+    crit = update_criteria(crit, state, spec, dt)
+
+    # ---- CBV churn (carla_env.py:431-462)
+    reached = cbv_reached_goal(state)
+    cbv_collided = state.collision & state.is_cbv
+    # reach-goal -> back to plain BV (autopilot); collision -> destroyed
+    is_cbv = state.is_cbv & ~reached & ~cbv_collided
+    goal_valid = state.goal_valid & ~reached & ~cbv_collided
+    alive = state.alive & ~cbv_collided
+    # plain BVs that collide are also removed (UE4 would have stopped them;
+    # the kinematic tick has no contact resolution)
+    bv_collided = state.collision & ~state.is_cbv
+    bv_collided = bv_collided.at[:, 0].set(False)  # ego persists
+    alive &= ~bv_collided
+    state = state.replace(is_cbv=is_cbv, goal_valid=goal_valid, alive=alive)
+
+    # ---- recognition cadence (carla_env.py:180-208)
+    do_recog = (
+        (state.tick > RECOG_WARMUP_TICKS)
+        & (state.tick % RECOG_INTERVAL == 0)
+        & ~crit.done
+    )
+    new_is_cbv, goal, gvalid, _, promote = recognize_cbvs(
+        tmap, spec, state, max_cbvs
+    )
+    gate = do_recog[:, None]
+    promote &= gate
+    state = state.replace(
+        is_cbv=jnp.where(gate, new_is_cbv, state.is_cbv),
+        goal=jnp.where(promote[..., None], goal, state.goal),
+        goal_valid=jnp.where(promote, gvalid, state.goal_valid),
+        # fresh controllers for promoted CBVs
+        tracker=state.tracker.reset_where(promote),
+    )
+    return state, crit
+
+
+class TrafficEnv:
+    """Host-side convenience wrapper: reset + step + episode bookkeeping."""
+
+    def __init__(
+        self,
+        tmap: TensorMap,
+        num_scenarios: int = 4,
+        num_agents: int = 16,
+        max_cbvs: int = 3,
+        dt: float = 0.1,
+        seed: int = 0,
+    ):
+        self.tmap = tmap
+        self.num_scenarios = num_scenarios
+        self.num_agents = num_agents
+        self.max_cbvs = max_cbvs
+        self.dt = dt
+        self.rng = np.random.default_rng(seed)
+
+    def reset(self, routes=None, lane_paths=None):
+        if routes is None:
+            routes, lane_paths = [], []
+            for _ in range(self.num_scenarios):
+                wps, path = sample_route(self.tmap, self.rng)
+                routes.append(wps)
+                lane_paths.append(path)
+        self.spec = make_scenario_spec(self.tmap, routes, lane_paths)
+        state = spawn_agents(self.tmap, self.spec, self.num_agents, self.rng)
+        crit = init_criteria(self.num_scenarios, self.num_agents)
+        return state, crit, self.spec
+
+    def step(self, state, crit, cbv_traj=None, cbv_traj_mask=None, ego_traj=None):
+        return env_step(
+            self.tmap, self.spec, state, crit,
+            cbv_traj=cbv_traj, cbv_traj_mask=cbv_traj_mask, ego_traj=ego_traj,
+            max_cbvs=self.max_cbvs, dt=self.dt,
+        )
+
+    def all_done(self, crit) -> bool:
+        return bool(crit.done.all())

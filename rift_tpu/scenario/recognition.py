@@ -1,0 +1,141 @@
+"""CBV recognition: promote background vehicles to adversaries.
+
+Vectorized equivalent of the reference's recognition stack
+(rift/cbv/recognition/base_cbv.py:66-192 + rule_cbv.py:19-24): candidates are
+alive background vehicles 10-60 m from the ego, on-road, whose distance to
+some upcoming ego-route waypoint is comparable to the ego's own route
+distance to it (interaction-point matching). The reference runs an A* route
+query per candidate per waypoint; here the candidate's route distance is
+approximated by its Euclidean distance (a lower bound — same acceptance
+direction), so the whole test is one [A, W] tensor op.
+
+The closest matching candidates become CBVs (RuleCBVRecog semantics), each
+assigned a goal a fixed distance beyond its interaction waypoint (standing in
+for the CBV route planner's extended random route,
+rift/cbv/planning/route_planner/route_planner.py:162-215).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..map.tensor_map import TensorMap
+from ..sim.state import ScenarioSpec, SimState
+
+MIN_EGO_DIST = 10.0
+MAX_EGO_DIST = 60.0
+INTERACTION_TOLERANCE = 15.0  # |d_cbv - d_ego| acceptance threshold (m)
+MAX_EGO_ROUTE_AHEAD = 80.0  # only match waypoints this far ahead of the ego
+GOAL_BEYOND_INTERACTION = 30.0  # goal placed this far past the interaction wp
+RECOG_WARMUP_TICKS = 25  # reference: no recognition before tick 25
+RECOG_INTERVAL = 2  # reference: every 2 ticks (carla_env.py:180-208)
+
+
+@partial(jax.jit, static_argnames=("max_cbvs",))
+def recognize_cbvs(
+    tmap: TensorMap,
+    spec: ScenarioSpec,
+    state: SimState,
+    max_cbvs: int = 3,
+):
+    """Returns (is_cbv [S, A], goal [S, A, 2], goal_valid [S, A],
+    interaction_idx [S, A] route-waypoint index or -1).
+
+    Existing CBVs keep their status/goal; only free slots are filled
+    (the reference adds CBVs incrementally up to max_agent_num).
+    """
+    S, A = state.alive.shape
+    ego_pos = state.pos[:, 0]
+    route = spec.ego_route[..., :2]  # [S, W, 2]
+    W = route.shape[1]
+    w_idx = jnp.arange(W, dtype=jnp.float32)
+    route_valid = w_idx[None] < spec.ego_route_len[:, None].astype(jnp.float32)
+
+    # ego route distance to each waypoint (1 m spacing)
+    d_ego = w_idx[None] - state.ego_route_cursor[:, None]  # [S, W]
+    ahead = (d_ego >= 0) & (d_ego <= MAX_EGO_ROUTE_AHEAD) & route_valid
+
+    # candidate route-distance proxy
+    d_cbv = jnp.linalg.norm(
+        route[:, None] - state.pos[:, :, None], axis=-1
+    )  # [S, A, W]
+    mismatch = jnp.abs(d_cbv - d_ego[:, None])
+    mismatch = jnp.where(ahead[:, None], mismatch, jnp.inf)
+    best_w = jnp.argmin(mismatch, axis=-1)  # [S, A]
+    best_mismatch = jnp.min(mismatch, axis=-1)
+
+    dist_ego = jnp.linalg.norm(state.pos - ego_pos[:, None], axis=-1)
+    on_road = ~state.offroad
+    is_bv = state.alive & ~state.is_cbv
+    is_bv = is_bv.at[:, 0].set(False)  # ego never a CBV
+    candidate = (
+        is_bv
+        & (dist_ego > MIN_EGO_DIST)
+        & (dist_ego < MAX_EGO_DIST)
+        & on_road
+        & (best_mismatch < INTERACTION_TOLERANCE)
+    )
+
+    # fill free CBV slots with the closest candidates
+    n_current = state.is_cbv.sum(-1).astype(jnp.int32)
+    free = jnp.maximum(max_cbvs - n_current, 0)  # [S]
+    score = jnp.where(candidate, dist_ego, jnp.inf)
+    order = jnp.argsort(score, axis=-1)  # closest first
+    rank = jnp.argsort(order, axis=-1)  # rank of each agent
+    promote = candidate & (rank < free[:, None])
+
+    new_is_cbv = state.is_cbv | promote
+
+    # goal: route waypoint GOAL_BEYOND_INTERACTION past the interaction point
+    goal_w = jnp.minimum(
+        best_w + jnp.int32(GOAL_BEYOND_INTERACTION),
+        spec.ego_route_len[:, None] - 1,
+    )
+    goal_pos = jnp.take_along_axis(
+        route, goal_w[..., None].repeat(2, -1), axis=1
+    )
+    goal = jnp.where(promote[..., None], goal_pos, state.goal)
+    goal_valid = jnp.where(promote, True, state.goal_valid)
+    interaction = jnp.where(promote, best_w, -1)
+
+    return new_is_cbv, goal, goal_valid, interaction, promote
+
+
+def cbv_route_masks(
+    tmap: TensorMap,
+    spec: ScenarioSpec,
+    state: SimState,
+    cbv_slots: jnp.ndarray,  # [S, C]
+    corridor: float = 60.0,
+):
+    """Per-CBV on-route lane masks [S, C, L] for reference-line extraction.
+
+    The reference builds a per-CBV global route (interaction waypoint extended
+    with random road options). Here the mask is: lanes on the ego route plus
+    lanes within `corridor` meters of the CBV — giving the topology traversal
+    the same freedom the extended route provides.
+    """
+    ego_route_mask = jax.vmap(tmap.on_route_mask)(
+        spec.route_road_ids, spec.route_lane_ids
+    )  # [S, L]
+    slot = jnp.maximum(cbv_slots, 0)
+    cbv_pos = jnp.take_along_axis(
+        state.pos, slot[..., None].repeat(2, -1), axis=1
+    )  # [S, C, 2]
+    d2 = jnp.sum(
+        (tmap.lane_mid[None, None] - cbv_pos[:, :, None]) ** 2, axis=-1
+    )  # [S, C, L]
+    near = d2 < corridor * corridor
+    return (near | ego_route_mask[:, None]) & tmap.valid[None, None]
+
+
+def cbv_slot_assignment(is_cbv: jnp.ndarray, max_cbvs: int) -> jnp.ndarray:
+    """[S, A] mask -> [S, C] agent indices (-1 padded), stable order."""
+    S, A = is_cbv.shape
+    order = jnp.argsort(~is_cbv, axis=-1)  # CBVs first, stable
+    slots = order[:, :max_cbvs]
+    valid = jnp.take_along_axis(is_cbv, slots, axis=-1)
+    return jnp.where(valid, slots, -1).astype(jnp.int32)
