@@ -56,11 +56,12 @@ def trainable_mask(params: Any, prefixes: tuple) -> Any:
 
 def warmup_cosine(lr: float, min_lr: float, total_steps: int, warmup_steps: int):
     """WarmupCosLR equivalent (rift/cbv/planning/pluto/optim/warmup_cos_lr.py)."""
+    warmup = max(warmup_steps, 1)
     return optax.warmup_cosine_decay_schedule(
         init_value=0.0,
         peak_value=lr,
-        warmup_steps=max(warmup_steps, 1),
-        decay_steps=max(total_steps, 2),
+        warmup_steps=warmup,
+        decay_steps=max(total_steps, warmup + 1),
         end_value=min_lr,
     )
 

@@ -1,0 +1,183 @@
+"""Top-level runner: mode dispatch and the rollout/train alternation.
+
+Counterpart of rift/carla_runner.py:410-487 (modes train_cbv / eval /
+collect_data) without the CARLA process management: the "world" is the jitted
+env_step, so a runner owns (map, env, policies, buffer, statistics) and loops
+episodes. The reference's train loop — fill a 4096-step buffer, fit 16
+epochs, swap weights, reset buffer (rlft_pluto.py:206-247) — becomes
+buffer-full -> rl.trainer.fit -> params assignment, all on device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .map.tensor_map import TensorMap
+from .models.pluto import PlutoModel, build_cbv_features
+from .models.pluto.policy import pluto_cbv_act
+from .rl import (
+    TrainConfig,
+    fit,
+    rift_loss,
+    ring_append,
+    ring_init,
+    ring_reset,
+)
+from .scenario import TrafficEnv, cbv_slot_assignment
+from .scenario.recognition import cbv_route_masks
+from .scenario.statistics import StatisticsManager
+
+
+@dataclass
+class RunnerConfig:
+    num_scenarios: int = 4
+    num_agents: int = 16
+    max_cbvs: int = 3
+    max_episode_ticks: int = 600
+    buffer_capacity: int = 1024
+    train: TrainConfig = field(default_factory=TrainConfig)
+    seed: int = 0
+    encoder_depth: int = 4
+    decoder_depth: int = 4
+
+
+class Runner:
+    def __init__(self, tmap: TensorMap, cfg: RunnerConfig | None = None):
+        self.cfg = cfg or RunnerConfig()
+        self.tmap = tmap
+        self.env = TrafficEnv(
+            tmap,
+            num_scenarios=self.cfg.num_scenarios,
+            num_agents=self.cfg.num_agents,
+            max_cbvs=self.cfg.max_cbvs,
+            seed=self.cfg.seed,
+        )
+        self.model = PlutoModel(
+            encoder_depth=self.cfg.encoder_depth,
+            decoder_depth=self.cfg.decoder_depth,
+        )
+        self.params: Any = None
+        self.buffer = None
+        self.stats = StatisticsManager()
+        self.train_rounds = 0
+        self.rng = jax.random.PRNGKey(self.cfg.seed)
+
+    # ------------------------------------------------------------------
+    def init_params(self):
+        state, crit, spec = self.env.reset()
+        slots = cbv_slot_assignment(state.is_cbv, self.cfg.max_cbvs)
+        masks = cbv_route_masks(self.tmap, spec, state, slots)
+        feats, _ = build_cbv_features(self.tmap, state, slots, masks)
+        flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), feats)
+        self.rng, k = jax.random.split(self.rng)
+        self.params = self.model.init(k, flat)
+        self._feat_template = jax.tree.map(lambda x: x[0, 0], feats)
+        return state, crit, spec
+
+    def _init_buffer(self, old_logits_shape):
+        spec = {
+            "features": self._feat_template,
+            "old_logits": jnp.zeros(old_logits_shape),
+            "advantage": jnp.zeros(old_logits_shape),
+            "valid": jnp.zeros(old_logits_shape, bool),
+        }
+        self.buffer = ring_init(spec, capacity=self.cfg.buffer_capacity)
+
+    # ------------------------------------------------------------------
+    def run_episode(self, train: bool = False, collect=None):
+        """One batched episode. Returns (state, crit, spec)."""
+        if self.params is None:
+            state, crit, spec = self.init_params()
+        else:
+            state, crit, spec = self.env.reset()
+        for _ in range(self.cfg.max_episode_ticks):
+            res = pluto_cbv_act(
+                self.model, self.params, self.tmap, spec, state,
+                max_cbvs=self.cfg.max_cbvs, train=train,
+            )
+            if train and bool(res["mask"].any()):
+                self._store(res)
+            if collect is not None:
+                collect(state, res)
+            state, crit = self.env.step(
+                state, crit, cbv_traj=res["traj"], cbv_traj_mask=res["mask"]
+            )
+            if self.env.all_done(crit):
+                break
+        self.stats.register_episode(crit, state, spec)
+        return state, crit, spec
+
+    def _store(self, res):
+        S, C = res["cbv_slots"].shape
+        flat = lambda x: x.reshape((S * C,) + x.shape[2:])
+        samples = {
+            "features": jax.tree.map(flat, res["features"]),
+            "old_logits": flat(res["old_logits"]),
+            "advantage": flat(res["advantage"]),
+            "valid": flat(res["adv_valid"]),
+        }
+        sample_valid = flat(res["cbv_slots"] >= 0) & samples["valid"].any(
+            axis=(-2, -1)
+        )
+        if self.buffer is None:
+            self._init_buffer(res["old_logits"].shape[2:])
+        self.buffer = ring_append(self.buffer, samples, sample_valid)
+
+    # ------------------------------------------------------------------
+    def train_cbv(self, num_episodes: int = 10):
+        """The flagship mode: closed-loop RIFT fine-tuning."""
+        losses_log = []
+        for ep in range(num_episodes):
+            self.run_episode(train=True)
+            if self.buffer is not None and bool(self.buffer.full):
+                self.rng, k = jax.random.split(self.rng)
+                self.params, losses = fit(
+                    self.params, self.buffer, self._rift_loss_fn,
+                    self.cfg.train, k, round_idx=self.train_rounds,
+                )
+                self.train_rounds += 1
+                self.buffer = ring_reset(self.buffer)
+                losses_log.append(losses)
+        return losses_log
+
+    def _rift_loss_fn(self, params, batch, rng):
+        out = self.model.apply(params, batch["features"])
+        r_pad = ~batch["features"]["reference_line"]["valid_mask"].any(-1)
+        return rift_loss(
+            out["probability"], r_pad, batch["old_logits"],
+            batch["advantage"], batch["valid"],
+        )
+
+    # ------------------------------------------------------------------
+    def eval(self, num_episodes: int = 3):
+        for _ in range(num_episodes):
+            self.run_episode(train=False)
+        return self.stats.compute_global_statistics()
+
+    # ------------------------------------------------------------------
+    def collect_data(self, num_episodes: int = 1):
+        """Offline dataset collection (reference collect_data mode,
+        carla_runner.py:364-408): returns a list of per-tick dicts with
+        ego/CBV states for SFT or recognition training."""
+        dataset = []
+
+        def collect(state, res):
+            dataset.append(
+                {
+                    "pos": np.asarray(state.pos),
+                    "heading": np.asarray(state.heading),
+                    "speed": np.asarray(state.speed),
+                    "is_cbv": np.asarray(state.is_cbv),
+                    "alive": np.asarray(state.alive),
+                    "cbv_traj": np.asarray(res["traj"]),
+                }
+            )
+
+        for _ in range(num_episodes):
+            self.run_episode(train=False, collect=collect)
+        return dataset
