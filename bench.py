@@ -5,7 +5,9 @@ GPU-process, i.e. order 10-20 env-steps/s (BASELINE.md "Throughput context");
 `vs_baseline` is measured against the 15 env-steps/s midpoint. Each env step
 here is a full closed-loop tick: IDM background traffic, rule ego, Pluto CBV
 planner forward + candidate selection + PID tracking, collision/off-road
-checks and leaderboard criteria, across all scenarios at once.
+checks and leaderboard criteria, across all scenarios at once. Ticks run in
+fused chunks of CHUNK steps (rift_tpu.rollout.rollout_chunk) so per-dispatch
+latency amortizes.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -13,23 +15,28 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
 
+from rift_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
 
 BASELINE_ENV_STEPS_PER_S = 15.0
+CHUNK = 10
 
 
 def main(
     num_scenarios: int = 64,
     num_agents: int = 24,
     max_cbvs: int = 3,
-    warmup_iters: int = 3,
-    steps: int = 100,
+    chunks: int = 10,
+    warmup_chunks: int = 1,
 ):
     from rift_tpu.map import make_grid_town
-    from rift_tpu.models.pluto.policy import pluto_cbv_act
+    from rift_tpu.rollout import rollout_chunk
     from rift_tpu.runner import Runner, RunnerConfig
 
     tmap = make_grid_town(blocks=2, num_lanes=2)
@@ -43,26 +50,27 @@ def main(
     r = Runner(tmap, cfg)
     state, crit, spec = r.init_params()
 
-    def tick(state, crit):
-        res = pluto_cbv_act(
-            r.model, r.params, tmap, spec, state, max_cbvs=max_cbvs
+    def tick_chunk(state, crit):
+        state, crit, _ = rollout_chunk(
+            r.model, r.params, tmap, spec, state, crit,
+            max_cbvs=max_cbvs, num_steps=CHUNK,
         )
-        return r.env.step(
-            state, crit, cbv_traj=res["traj"], cbv_traj_mask=res["mask"]
-        )
-
-    # compile + warmup
-    for _ in range(warmup_iters):
-        state, crit = tick(state, crit)
-    jax.block_until_ready(state.pos)
+        return state, crit
 
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state, crit = tick(state, crit)
+    for _ in range(warmup_chunks):
+        state, crit = tick_chunk(state, crit)
+    jax.block_until_ready(state.pos)
+    compile_s = time.perf_counter() - t0
+    print(f"# warmup+compile: {compile_s:.1f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for _ in range(chunks):
+        state, crit = tick_chunk(state, crit)
     jax.block_until_ready(state.pos)
     dt = time.perf_counter() - t0
 
-    env_steps_per_s = steps * num_scenarios / dt
+    env_steps_per_s = chunks * CHUNK * num_scenarios / dt
     print(
         json.dumps(
             {
@@ -76,4 +84,8 @@ def main(
 
 
 if __name__ == "__main__":
-    main()
+    kw = {}
+    for a in sys.argv[1:]:
+        k, v = a.split("=")
+        kw[k] = int(v)
+    main(**kw)

@@ -89,28 +89,60 @@ class Runner:
         self.buffer = ring_init(spec, capacity=self.cfg.buffer_capacity)
 
     # ------------------------------------------------------------------
-    def run_episode(self, train: bool = False, collect=None):
-        """One batched episode. Returns (state, crit, spec)."""
+    def run_episode(self, train: bool = False, collect=None, chunk: int = 10):
+        """One batched episode. Returns (state, crit, spec).
+
+        Ticks run in fused `chunk`-step device programs (rollout.rollout_chunk)
+        unless a per-step `collect` callback needs intermediate states.
+        """
         if self.params is None:
             state, crit, spec = self.init_params()
         else:
             state, crit, spec = self.env.reset()
-        for _ in range(self.cfg.max_episode_ticks):
-            res = pluto_cbv_act(
-                self.model, self.params, self.tmap, spec, state,
-                max_cbvs=self.cfg.max_cbvs, train=train,
-            )
-            if train and bool(res["mask"].any()):
-                self._store(res)
-            if collect is not None:
+
+        if collect is not None:
+            for _ in range(self.cfg.max_episode_ticks):
+                res = pluto_cbv_act(
+                    self.model, self.params, self.tmap, spec, state,
+                    max_cbvs=self.cfg.max_cbvs, train=train,
+                )
+                if train and bool(res["mask"].any()):
+                    self._store(res)
                 collect(state, res)
-            state, crit = self.env.step(
-                state, crit, cbv_traj=res["traj"], cbv_traj_mask=res["mask"]
-            )
-            if self.env.all_done(crit):
-                break
+                state, crit = self.env.step(
+                    state, crit, cbv_traj=res["traj"], cbv_traj_mask=res["mask"]
+                )
+                if self.env.all_done(crit):
+                    break
+        else:
+            from .rollout import rollout_chunk
+
+            n_chunks = max(self.cfg.max_episode_ticks // chunk, 1)
+            for _ in range(n_chunks):
+                state, crit, extras = rollout_chunk(
+                    self.model, self.params, self.tmap, spec, state, crit,
+                    max_cbvs=self.cfg.max_cbvs, num_steps=chunk, train=train,
+                )
+                if train and extras is not None:
+                    self._store_chunk(extras)
+                if self.env.all_done(crit):
+                    break
         self.stats.register_episode(crit, state, spec)
         return state, crit, spec
+
+    def _store_chunk(self, extras):
+        """Append [K, B, ...] stacked chunk samples to the ring buffer."""
+        merge = lambda x: x.reshape((-1,) + x.shape[2:])
+        samples = {
+            "features": jax.tree.map(merge, extras["features"]),
+            "old_logits": merge(extras["old_logits"]),
+            "advantage": merge(extras["advantage"]),
+            "valid": merge(extras["valid"]),
+        }
+        sample_valid = merge(extras["sample_valid"])
+        if self.buffer is None:
+            self._init_buffer(extras["old_logits"].shape[2:])
+        self.buffer = ring_append(self.buffer, samples, sample_valid)
 
     def _store(self, res):
         S, C = res["cbv_slots"].shape

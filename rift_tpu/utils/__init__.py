@@ -1,0 +1,3 @@
+from .cache import enable_compilation_cache
+
+__all__ = ["enable_compilation_cache"]
