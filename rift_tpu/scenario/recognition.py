@@ -132,6 +132,43 @@ def cbv_route_masks(
     return (near | ego_route_mask[:, None]) & tmap.valid[None, None]
 
 
+def attn_recognize_cbvs(
+    tmap: TensorMap,
+    spec: ScenarioSpec,
+    state: SimState,
+    attn_scores_fn,
+    max_cbvs: int = 3,
+):
+    """Attention-based recognition (AttnCBVRecog semantics,
+    rift/cbv/recognition/attention_based/attn_cbv.py:20-30 + attn_model.py:
+    rank the rule-filtered candidates by a PlanT-style transformer's
+    attention over ego+vehicle tokens, promote the top scorers).
+
+    `attn_scores_fn(state) -> scores [S, A]` — typically built from
+    rift_tpu.models.plant: tokens via build_plant_tokens, scores from the
+    model's `attn_scores` gathered back to agent slots.
+
+    Returns the same tuple as `recognize_cbvs`.
+    """
+    is_cbv, goal, goal_valid, interaction, promote_rule = recognize_cbvs(
+        tmap, spec, state, max_cbvs
+    )
+    scores = attn_scores_fn(state)  # [S, A], higher = more relevant
+    # rank only among the rule-passing candidates
+    candidate = promote_rule | (is_cbv & ~state.is_cbv)
+    n_current = state.is_cbv.sum(-1).astype(jnp.int32)
+    free = jnp.maximum(max_cbvs - n_current, 0)
+    score = jnp.where(candidate, scores, -jnp.inf)
+    order = jnp.argsort(-score, axis=-1)
+    rank = jnp.argsort(order, axis=-1)
+    promote = candidate & (rank < free[:, None]) & jnp.isfinite(score)
+    new_is_cbv = state.is_cbv | promote
+    goal = jnp.where(promote[..., None], goal, state.goal)
+    goal_valid = jnp.where(promote, goal_valid, state.goal_valid)
+    interaction = jnp.where(promote, interaction, -1)
+    return new_is_cbv, goal, goal_valid, interaction, promote
+
+
 def cbv_slot_assignment(is_cbv: jnp.ndarray, max_cbvs: int) -> jnp.ndarray:
     """[S, A] mask -> [S, C] agent indices (-1 padded), stable order."""
     S, A = is_cbv.shape

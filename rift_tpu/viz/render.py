@@ -1,0 +1,145 @@
+"""BEV scene rendering and video recording.
+
+Host-side counterpart of the reference's visualization stack
+(rift/gym_carla/visualization/: pygame BEV rasterizer bev_render.py:81-563,
+matplotlib nuPlan-style scene render with candidate trajectories and
+reference lines nuplan_scenario_render.py:53-351, mp4 writer
+video_render.py:78). Renders from streamed SimState snapshots — the sim
+never blocks on drawing. Output: PNG frames and an animated GIF (no ffmpeg
+in this image; Pillow writes the animation).
+"""
+
+from __future__ import annotations
+
+import os
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+from matplotlib.patches import Polygon as MplPolygon
+
+from ..geometry.obb import box_corners
+from ..map.tensor_map import TensorMap
+
+EGO_COLOR = "#2ca02c"
+CBV_COLOR = "#d62728"
+BV_COLOR = "#1f77b4"
+LANE_COLOR = "#cccccc"
+EDGE_COLOR = "#999999"
+ROUTE_COLOR = "#ff7f0e"
+
+
+class BEVRenderer:
+    def __init__(self, tmap: TensorMap, view_radius: float = 80.0, figsize=(8, 8)):
+        self.tmap = tmap
+        self.view_radius = view_radius
+        self.figsize = figsize
+        self._centerline = np.asarray(tmap.centerline)
+        self._left = np.asarray(tmap.left_edge)
+        self._right = np.asarray(tmap.right_edge)
+        self._valid = np.asarray(tmap.valid)
+
+    def render(
+        self,
+        state,
+        scenario: int = 0,
+        route: np.ndarray | None = None,
+        candidates: np.ndarray | None = None,  # [K, T, 2] world frame
+        reference_lines: np.ndarray | None = None,  # [R, N, 2] + mask via nan
+        ax=None,
+    ):
+        """Draw one scenario centered on its ego. Returns the figure."""
+        own_fig = ax is None
+        if own_fig:
+            fig, ax = plt.subplots(figsize=self.figsize)
+        else:
+            fig = ax.figure
+
+        pos = np.asarray(state.pos[scenario])
+        heading = np.asarray(state.heading[scenario])
+        alive = np.asarray(state.alive[scenario])
+        is_cbv = np.asarray(state.is_cbv[scenario])
+        shape = np.asarray(state.shape[scenario])
+        center = pos[0]
+
+        # lanes within view
+        mid = self._centerline[:, self._centerline.shape[1] // 2]
+        near = (
+            np.linalg.norm(mid - center, axis=-1) < self.view_radius * 1.5
+        ) & self._valid
+        for li in np.flatnonzero(near):
+            ax.plot(*self._centerline[li].T, color=LANE_COLOR, lw=0.8, zorder=1)
+            ax.plot(*self._left[li].T, color=EDGE_COLOR, lw=0.5, zorder=1)
+            ax.plot(*self._right[li].T, color=EDGE_COLOR, lw=0.5, zorder=1)
+
+        if route is not None:
+            ax.plot(route[:, 0], route[:, 1], color=ROUTE_COLOR, lw=1.5,
+                    alpha=0.7, zorder=2)
+
+        if reference_lines is not None:
+            for line in reference_lines:
+                ax.plot(line[:, 0], line[:, 1], "--", color="#9467bd",
+                        lw=1.0, alpha=0.8, zorder=2)
+
+        if candidates is not None:
+            for tr in candidates:
+                ax.plot(tr[:, 0], tr[:, 1], color="#17becf", lw=0.7,
+                        alpha=0.5, zorder=3)
+
+        corners = np.asarray(
+            box_corners(pos, heading, shape)
+        )  # [A, 4, 2]
+        for a in np.flatnonzero(alive):
+            color = EGO_COLOR if a == 0 else (CBV_COLOR if is_cbv[a] else BV_COLOR)
+            ax.add_patch(
+                MplPolygon(corners[a], closed=True, facecolor=color,
+                           edgecolor="black", lw=0.5, zorder=4)
+            )
+            # heading tick
+            tip = pos[a] + 3.0 * np.array([np.cos(heading[a]), np.sin(heading[a])])
+            ax.plot([pos[a, 0], tip[0]], [pos[a, 1], tip[1]], color="black",
+                    lw=0.5, zorder=4)
+
+        ax.set_xlim(center[0] - self.view_radius, center[0] + self.view_radius)
+        ax.set_ylim(center[1] - self.view_radius, center[1] + self.view_radius)
+        ax.set_aspect("equal")
+        ax.set_title(f"tick {int(state.tick[scenario])}")
+        return fig
+
+
+class VideoRecorder:
+    """Collects frames during a rollout; writes PNGs and a GIF."""
+
+    def __init__(self, tmap: TensorMap, out_dir: str, every_n_ticks: int = 5,
+                 **renderer_kw):
+        self.renderer = BEVRenderer(tmap, **renderer_kw)
+        self.out_dir = out_dir
+        self.every = every_n_ticks
+        self.frames: list[np.ndarray] = []
+        os.makedirs(out_dir, exist_ok=True)
+
+    def maybe_capture(self, state, scenario: int = 0, **render_kw):
+        if int(state.tick[scenario]) % self.every != 0:
+            return
+        fig = self.renderer.render(state, scenario, **render_kw)
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+        self.frames.append(buf.copy())
+        plt.close(fig)
+
+    def save(self, name: str = "episode"):
+        if not self.frames:
+            return None
+        from PIL import Image
+
+        imgs = [Image.fromarray(f) for f in self.frames]
+        gif_path = os.path.join(self.out_dir, f"{name}.gif")
+        imgs[0].save(
+            gif_path, save_all=True, append_images=imgs[1:], duration=100,
+            loop=0,
+        )
+        imgs[-1].save(os.path.join(self.out_dir, f"{name}_last.png"))
+        self.frames = []
+        return gif_path
