@@ -63,6 +63,7 @@ def _idm_target_speed(
 def pdm_ego_waypoints(
     spec: ScenarioSpec,
     state: SimState,
+    tmap=None,
     dt: float = 0.1,
     num_points: int = 30,
 ) -> jnp.ndarray:
@@ -134,6 +135,15 @@ def pdm_ego_waypoints(
         desired, state.speed[:, 0], hazard_speed, hazard_dist, hazard_len
     )
     v_target = jnp.where(any_hit, jnp.minimum(v_idm, desired), desired)
+
+    # red-light stop (pdm_lite autopilot.py:1053-1205 equivalent)
+    if tmap is not None:
+        from ..sim.traffic_lights import red_ahead
+
+        must_stop, _ = red_ahead(
+            tmap, state.lane[:, :1], state.pos[:, :1], state.tick
+        )
+        v_target = jnp.where(must_stop[:, 0], 0.0, v_target)
 
     spacing = jnp.maximum(v_target * dt, 1e-3)
     return path_follow_waypoints(

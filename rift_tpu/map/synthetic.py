@@ -162,10 +162,14 @@ def make_grid_town(
 
     for i in range(n):
         for j in range(n):
+            junction_idx = i * n + j
             for src in neighbors(i, j):
                 if seg_key(src, (i, j)) not in seg_ids:
                     continue
                 rid_in = seg_ids[seg_key(src, (i, j))]
+                # approach axis: 0 = horizontal (east/west), 1 = vertical
+                axis = 0 if src[1] == j else 1
+                light_group = junction_idx * 2 + axis
                 for dst in neighbors(i, j):
                     if dst == src:
                         continue  # no U-turn
@@ -192,6 +196,7 @@ def make_grid_town(
                                 left_adj=None,
                                 right_adj=None,
                                 speed_limit=SPEED_LIMIT,
+                                light_group=light_group,
                             )
                         )
                         by_rid_lane[(rid_in, lane_id)].setdefault(

@@ -53,6 +53,10 @@ class TensorMap:
     left_adj: jnp.ndarray  # [L] int32, -1 if none
     right_adj: jnp.ndarray  # [L] int32, -1 if none
     valid: jnp.ndarray  # [L] bool
+    # traffic lights: phase group per lane, -1 = unsignalised. Lanes in group
+    # 2*j + axis share the light of junction j's `axis` approach (the
+    # gen_hdmap.py Trigger_Volumes equivalent; see sim/traffic_lights.py).
+    light_group: jnp.ndarray  # [L] int32
     # crosswalks: 3 edge polylines (center/left/right) x Pc points, like
     # nuplan_map_utils.py:_get_crosswalk_edges
     crosswalk_edges: jnp.ndarray  # [C, 3, Pc, 2]
@@ -169,7 +173,8 @@ def build_tensor_map(
       centerline [N, 2], left [N, 2] (optional), right [N, 2] (optional),
       width float, road_id int, lane_id int, is_junction bool,
       successors list[(road_id, lane_id)], left_adj / right_adj
-      (road_id, lane_id) or None, speed_limit float.
+      (road_id, lane_id) or None, speed_limit float,
+      light_group int (optional, -1 = unsignalised).
 
     Polylines are arclength-resampled to LANE_POINTS vertices, mirroring
     nuplan_map_utils.py:build_lane_edges.
@@ -202,6 +207,7 @@ def build_tensor_map(
     is_junction = onp.zeros(Lp, bool)
     speed_limit = onp.zeros(Lp, onp.float32)
     valid = onp.zeros(Lp, bool)
+    light_group = onp.full(Lp, -1, onp.int32)
 
     key_to_idx: dict[tuple[int, int], int] = {}
     for i, ln in enumerate(lanes):
@@ -228,6 +234,7 @@ def build_tensor_map(
         is_junction[i] = bool(ln.get("is_junction", False))
         speed_limit[i] = float(ln.get("speed_limit", 14.0))
         valid[i] = True
+        light_group[i] = int(ln.get("light_group", -1))
 
     successors = onp.full((Lp, max_successors), -1, onp.int32)
     predecessors = onp.full((Lp, max_successors), -1, onp.int32)
@@ -282,6 +289,7 @@ def build_tensor_map(
         left_adj=jnp.asarray(left_adj),
         right_adj=jnp.asarray(right_adj),
         valid=jnp.asarray(valid),
+        light_group=jnp.asarray(light_group),
         crosswalk_edges=jnp.asarray(crosswalk_edges),
         crosswalk_valid=jnp.asarray(crosswalk_valid),
     )

@@ -134,6 +134,12 @@ def update_criteria(
     driven = crit.driven_meters + step_m
     outside = crit.outside_lane_meters + step_m * state.offroad[:, 0]
 
+    # red-light infraction (RunningRedLightTest: entering a signalised
+    # connector while its light is red; detected by the world tick)
+    red_light = crit.red_light_infractions + (
+        state.ego_red_entry & running
+    ).astype(jnp.int32)
+
     # timeout
     timeout = crit.timeout | ((state.tick >= spec.timeout_ticks) & running)
 
@@ -166,6 +172,7 @@ def update_criteria(
         driven_meters=driven,
         timeout=timeout,
         route_complete=route_complete,
+        red_light_infractions=red_light,
         done=done,
         done_tick=done_tick,
         cbv_speed_sum=crit.cbv_speed_sum + (state.speed * cbv_f).sum(-1),

@@ -55,6 +55,7 @@ class SimState:
     collision: jnp.ndarray  # [S, A] bool
     collided_with: jnp.ndarray  # [S, A] int32 other-agent slot or -1
     offroad: jnp.ndarray  # [S, A] bool
+    ego_red_entry: jnp.ndarray  # [S] bool: ego entered a red-light connector
 
     # episode bookkeeping
     ego_route_cursor: jnp.ndarray  # [S] float32 arclength progressed on route
@@ -121,6 +122,7 @@ def init_sim_state(
         collision=jnp.zeros((S, A), bool),
         collided_with=jnp.full((S, A), -1, jnp.int32),
         offroad=jnp.zeros((S, A), bool),
+        ego_red_entry=jnp.zeros(S, bool),
         ego_route_cursor=jnp.zeros(S, jnp.float32),
         tick=jnp.zeros(S, jnp.int32),
         rng=rng,

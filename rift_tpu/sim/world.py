@@ -33,6 +33,7 @@ from .autopilot import (
 from .dynamics import bicycle_step
 from .pid import track_step
 from .state import ScenarioSpec, SimState
+from .traffic_lights import ego_red_light_entry, red_ahead
 
 GOAL_RADIUS = 3.0  # CBV reach-goal distance (route_planner.py reach check)
 
@@ -46,6 +47,9 @@ def autopilot_waypoints(
     )
     v_limit = tmap.speed_limit[state.lane] * TM_SPEED_FACTOR
     v_target = idm_target_speed(state.speed, v_limit, leaders, dt)
+    # stop for red lights at the approach stop line
+    must_stop, _ = red_ahead(tmap, state.lane, state.pos, state.tick)
+    v_target = jnp.where(must_stop, 0.0, v_target)
     spacing = jnp.maximum(v_target * dt, 1e-3)
     return lane_follow_waypoints(
         tmap,
@@ -126,6 +130,9 @@ def step(
     # 6. lane binding
     # ------------------------------------------------------------------
     new_lane = tmap.nearest_lane(new_pos)  # [S, A]
+    red_entry = ego_red_light_entry(
+        tmap, state.lane[:, 0], new_lane[:, 0], state.tick
+    )
     # advance fork bits when the lane actually changes so each junction gets
     # a fresh pseudo-random choice
     lane_changed = new_lane != state.lane
@@ -188,6 +195,7 @@ def step(
         collision=collision,
         collided_with=collided_with,
         offroad=offroad,
+        ego_red_entry=red_entry,
         ego_route_cursor=cursor,
         tick=state.tick + 1,
     )
