@@ -1,0 +1,544 @@
+"""Policy registries: the CBV and ego policy zoos.
+
+API surface parity with the reference's registries
+(rift/cbv/planning/__init__.py:22-34 CBV_POLICY_LIST,
+rift/ego/__init__.py:19-29 EGO_POLICY_LIST), same keys. Policies here are
+thin stateful wrappers over the functional cores: `act` maps SimState to the
+world tick's trajectory/control interface, `train` runs the matching loss
+from rift_tpu.rl.
+
+The fine-tuned Pluto family shares one rollout driver
+(models/pluto/policy.pluto_cbv_act); variants differ in the loss wired into
+the optax trainer (rl/losses.py) and in what extras they record, mirroring
+how the reference's Lightning trainers share RLFTPluto.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from .models.pluto import PlutoModel, build_cbv_features
+from .models.pluto.policy import pluto_cbv_act
+from .rl import (
+    TrainConfig,
+    fit,
+    grpo_loss,
+    reinforce_loss,
+    rift_loss,
+    ring_append,
+    ring_init,
+    ring_reset,
+    sft_loss,
+)
+from .rl.classic import ClassicPPO, cbv_normal_obs, rl_action_to_control
+from .scenario import cbv_slot_assignment
+from .scenario.recognition import cbv_route_masks
+
+
+# ---------------------------------------------------------------------------
+# CBV policies
+# ---------------------------------------------------------------------------
+class DummyPolicy:
+    """'standard' mode: no adversary — all background vehicles stay on the
+    IDM autopilot (reference DummyPolicy = plain CARLA autopilot traffic)."""
+
+    name = "standard"
+    type = "unlearnable"
+
+    def __init__(self, tmap, cfg=None):
+        self.tmap = tmap
+
+    def act(self, spec, state, train=False):
+        S, A = state.alive.shape
+        return {
+            "traj": jnp.zeros((S, A, 1, 2)),
+            "mask": jnp.zeros((S, A), bool),
+        }
+
+    def train_round(self, *a, **k):
+        return []
+
+
+class PlutoPolicy:
+    """Frozen pretrained Pluto ('pluto')."""
+
+    name = "pluto"
+    type = "il"
+    trainable = False
+    loss = None
+
+    def __init__(self, tmap, cfg=None, encoder_depth=4, decoder_depth=4, seed=0):
+        cfg = cfg or {}
+        self.tmap = tmap
+        self.max_cbvs = cfg.get("max_cbvs", 3)
+        self.model = PlutoModel(
+            encoder_depth=cfg.get("encoder_depth", encoder_depth),
+            decoder_depth=cfg.get("decoder_depth", decoder_depth),
+        )
+        self.params: Any = None
+        self.rng = jax.random.PRNGKey(cfg.get("seed", seed))
+
+    def maybe_init(self, spec, state):
+        if self.params is not None:
+            return
+        slots = cbv_slot_assignment(state.is_cbv, self.max_cbvs)
+        masks = cbv_route_masks(self.tmap, spec, state, slots)
+        feats, _ = build_cbv_features(self.tmap, state, slots, masks)
+        flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), feats)
+        self.rng, k = jax.random.split(self.rng)
+        self.params = jax.jit(self.model.init)(k, flat)
+
+    def act(self, spec, state, train=False):
+        self.maybe_init(spec, state)
+        return pluto_cbv_act(
+            self.model, self.params, self.tmap, spec, state,
+            max_cbvs=self.max_cbvs, train=train and self.trainable,
+        )
+
+    def train_round(self, *a, **k):
+        return []
+
+    # checkpointing
+    def save(self, mgr, episode):
+        mgr.save(self.params, episode, name=self.name)
+
+    def load(self, mgr, episode=None):
+        params, ep = mgr.restore(self.params, episode, name=self.name)
+        if params is not None:
+            self.params = params
+        return ep
+
+
+class _FineTunedPluto(PlutoPolicy):
+    """Shared machinery of the fine-tuned family (RLFTPluto equivalent)."""
+
+    trainable = True
+    buffer_capacity = 4096
+
+    def __init__(self, tmap, cfg=None, **kw):
+        super().__init__(tmap, cfg, **kw)
+        cfg = cfg or {}
+        self.buffer = None
+        self.train_cfg = cfg.get("train", TrainConfig())
+        self.train_rounds = 0
+        self.ref_params = None  # frozen pretrain copy (GRPO)
+
+    def store_chunk(self, extras):
+        merge = lambda x: x.reshape((-1,) + x.shape[2:])
+        samples = {
+            "features": jax.tree.map(merge, extras["features"]),
+            "old_logits": merge(extras["old_logits"]),
+            "advantage": merge(extras["advantage"]),
+            "valid": merge(extras["valid"]),
+        }
+        if self.buffer is None:
+            spec = jax.tree.map(lambda x: x[0], samples)
+            self.buffer = ring_init(spec, capacity=self.buffer_capacity)
+        self.buffer = ring_append(self.buffer, samples, merge(extras["sample_valid"]))
+
+    def buffer_full(self):
+        return self.buffer is not None and bool(self.buffer.full)
+
+    def _loss_fn(self, params, batch, rng):
+        raise NotImplementedError
+
+    def train_round(self, rng=None):
+        if self.buffer is None or int(self.buffer.size) == 0:
+            return []
+        rng = rng if rng is not None else jax.random.PRNGKey(self.train_rounds)
+        if self.ref_params is None:
+            self.ref_params = self.params  # snapshot before first update
+        self.params, losses = fit(
+            self.params, self.buffer, self._loss_fn, self.train_cfg, rng,
+            round_idx=self.train_rounds,
+        )
+        self.train_rounds += 1
+        self.buffer = ring_reset(self.buffer)
+        return losses
+
+
+class RIFTPlutoPolicy(_FineTunedPluto):
+    """'rift_pluto' — the flagship (dual-clip group-relative objective)."""
+
+    name = "rift_pluto"
+    type = "rlft"
+
+    def _loss_fn(self, params, batch, rng):
+        out = self.model.apply(params, batch["features"])
+        r_pad = ~batch["features"]["reference_line"]["valid_mask"].any(-1)
+        return rift_loss(
+            out["probability"], r_pad, batch["old_logits"],
+            batch["advantage"], batch["valid"],
+        )
+
+
+class GRPOPlutoPolicy(_FineTunedPluto):
+    """'grpo_pluto' — PPO clip + KL to the frozen pretrain policy."""
+
+    name = "grpo_pluto"
+    type = "rlft"
+
+    def _loss_fn(self, params, batch, rng):
+        out = self.model.apply(params, batch["features"])
+        r_pad = ~batch["features"]["reference_line"]["valid_mask"].any(-1)
+        ref_out = self.model.apply(jax.lax.stop_gradient(self.ref_params), batch["features"])
+        return grpo_loss(
+            out["probability"], r_pad, batch["old_logits"],
+            ref_out["probability"], batch["advantage"], batch["valid"],
+        )
+
+
+class ReinforcePlutoPolicy(_FineTunedPluto):
+    """'reinforce_pluto' — chosen-candidate log-prob x return. The return is
+    the evaluator's rollout return of the executed candidate (the on-device
+    stand-in for the reference's episodic discounted env return)."""
+
+    name = "reinforce_pluto"
+    type = "rlft"
+
+    def _loss_fn(self, params, batch, rng):
+        out = self.model.apply(params, batch["features"])
+        r_pad = ~batch["features"]["reference_line"]["valid_mask"].any(-1)
+        prob = out["probability"]
+        bs, R, M = prob.shape
+        chosen = jnp.argmax(
+            jnp.where(batch["valid"], batch["old_logits"], -jnp.inf).reshape(bs, -1),
+            axis=-1,
+        )
+        # z-scored advantage of the chosen candidate as the return signal
+        ret = jnp.take_along_axis(
+            batch["advantage"].reshape(bs, -1), chosen[:, None], axis=1
+        )[:, 0]
+        return reinforce_loss(prob, r_pad, chosen, ret)
+
+
+class SFTPlutoPolicy(_FineTunedPluto):
+    """'sft_pluto' — cross-entropy to the privileged teacher's candidate.
+    Teacher label = candidate with the highest evaluator return (the
+    rule-expert scoring stand-in for fine_tuner/sft/teacher/autopilot.py)."""
+
+    name = "sft_pluto"
+    type = "sft"
+
+    def _loss_fn(self, params, batch, rng):
+        out = self.model.apply(params, batch["features"])
+        r_pad = ~batch["features"]["reference_line"]["valid_mask"].any(-1)
+        bs = out["probability"].shape[0]
+        teacher = jnp.argmax(
+            jnp.where(batch["valid"], batch["advantage"], -jnp.inf).reshape(bs, -1),
+            axis=-1,
+        )
+        return sft_loss(out["probability"], r_pad, teacher, batch["valid"].reshape(bs, -1).any(-1))
+
+
+class RSPlutoPolicy(ReinforcePlutoPolicy):
+    """'rs_pluto' — reward-shaped REINFORCE (same estimator, shaped signal)."""
+
+    name = "rs_pluto"
+
+
+class RTRPlutoPolicy(_FineTunedPluto):
+    """'rtr_pluto' — RTR: PPO-clip on the executed candidate + teacher CE."""
+
+    name = "rtr_pluto"
+    type = "sft"
+    lambda_rl = 5.0
+
+    def _loss_fn(self, params, batch, rng):
+        out = self.model.apply(params, batch["features"])
+        r_pad = ~batch["features"]["reference_line"]["valid_mask"].any(-1)
+        prob = out["probability"]
+        bs = prob.shape[0]
+        flat_valid = batch["valid"].reshape(bs, -1)
+        chosen = jnp.argmax(
+            jnp.where(flat_valid, batch["old_logits"].reshape(bs, -1), -jnp.inf),
+            axis=-1,
+        )
+        adv = jnp.take_along_axis(
+            batch["advantage"].reshape(bs, -1), chosen[:, None], axis=1
+        )[:, 0]
+        teacher = jnp.argmax(
+            jnp.where(flat_valid, batch["advantage"].reshape(bs, -1), -jnp.inf),
+            axis=-1,
+        )
+        from .rl import masked_log_softmax
+
+        old_lp = jnp.take_along_axis(
+            masked_log_softmax(batch["old_logits"], r_pad), chosen[:, None], axis=1
+        )[:, 0]
+        lp = masked_log_softmax(prob, r_pad)
+        cur_lp = jnp.take_along_axis(lp, chosen[:, None], axis=1)[:, 0]
+        ratio = jnp.exp(cur_lp - old_lp)
+        surrogate = jnp.minimum(
+            adv * ratio, adv * jnp.clip(ratio, 0.8, 1.2)
+        ).mean()
+        teacher_ce = sft_loss(prob, r_pad, teacher, flat_valid.any(-1))
+        return -self.lambda_rl * surrogate + teacher_ce
+
+
+class PPOPlutoPolicy(RTRPlutoPolicy):
+    """'ppo_pluto' — PPO-clip on the executed candidate (no teacher term)."""
+
+    name = "ppo_pluto"
+    type = "rlft"
+    lambda_rl = 1.0
+
+    def _loss_fn(self, params, batch, rng):
+        out = self.model.apply(params, batch["features"])
+        r_pad = ~batch["features"]["reference_line"]["valid_mask"].any(-1)
+        prob = out["probability"]
+        bs = prob.shape[0]
+        flat_valid = batch["valid"].reshape(bs, -1)
+        chosen = jnp.argmax(
+            jnp.where(flat_valid, batch["old_logits"].reshape(bs, -1), -jnp.inf),
+            axis=-1,
+        )
+        adv = jnp.take_along_axis(
+            batch["advantage"].reshape(bs, -1), chosen[:, None], axis=1
+        )[:, 0]
+        from .rl import masked_log_softmax
+
+        old_lp = jnp.take_along_axis(
+            masked_log_softmax(batch["old_logits"], r_pad), chosen[:, None], axis=1
+        )[:, 0]
+        lp = masked_log_softmax(prob, r_pad)
+        cur_lp = jnp.take_along_axis(lp, chosen[:, None], axis=1)[:, 0]
+        entropy = -jnp.sum(jnp.exp(lp) * lp, axis=-1).mean()
+        ratio = jnp.exp(cur_lp - old_lp)
+        surrogate = jnp.minimum(
+            adv * ratio, adv * jnp.clip(ratio, 0.8, 1.2)
+        ).mean()
+        return -(surrogate + 0.01 * entropy)
+
+
+class ClassicCBVPolicy:
+    """'ppo' / 'frea' / 'fppo_rs' — MLP PPO on the 3-agent relative-state
+    observation driving (acc, steer) directly (rift/cbv/planning/rl/ppo.py;
+    FREA and FPPO-RS are load-only variants of the same net in the reference,
+    rl/frea.py:12-35)."""
+
+    name = "ppo"
+    type = "rl"
+
+    def __init__(self, tmap, cfg=None):
+        cfg = cfg or {}
+        self.tmap = tmap
+        self.max_cbvs = cfg.get("max_cbvs", 3)
+        self.ppo = ClassicPPO(seed=cfg.get("seed", 0))
+        self.rng = jax.random.PRNGKey(cfg.get("seed", 0))
+
+    def act(self, spec, state, train=False):
+        S, A = state.alive.shape
+        slots = cbv_slot_assignment(state.is_cbv, self.max_cbvs)
+
+        def one(scenario, slot):
+            obs = cbv_normal_obs(state, scenario, jnp.maximum(slot, 0))
+            return obs
+
+        scen = jnp.broadcast_to(jnp.arange(S)[:, None], slots.shape)
+        obs = jax.vmap(jax.vmap(one))(scen, slots)  # [S, C, rows, 6]
+        self.rng, k = jax.random.split(self.rng)
+        flat_obs = obs.reshape((-1,) + obs.shape[2:])
+        action, logp = self.ppo.act(
+            self.ppo.params, flat_obs, k, deterministic=not train
+        )
+        ctrl_sc = rl_action_to_control(action).reshape(S, slots.shape[1], 3)
+        ctrl = jnp.zeros((S, A, 3))
+        valid = slots >= 0
+        slot = jnp.maximum(slots, 0)
+        ctrl = jax.vmap(
+            lambda t, sl, w, v: t.at[sl].set(jnp.where(v[:, None], w, t[sl]))
+        )(ctrl, slot, ctrl_sc, valid)
+        mask = jnp.zeros((S, A), bool)
+        mask = jax.vmap(lambda m, sl, v: m.at[sl].set(v | m[sl]))(mask, slot, valid)
+        mask = mask.at[:, 0].set(False)
+        return {"ctrl": ctrl, "mask": mask, "obs": obs, "logp": logp,
+                "action": action, "cbv_slots": slots}
+
+    def train_round(self, batch):
+        return self.ppo.train(batch)
+
+
+class FREAPolicy(ClassicCBVPolicy):
+    name = "frea"
+
+
+class FPPORsPolicy(ClassicCBVPolicy):
+    name = "fppo_rs"
+
+
+CBV_POLICY_LIST: dict[str, Callable] = {
+    "standard": DummyPolicy,
+    "ppo": ClassicCBVPolicy,
+    "frea": FREAPolicy,
+    "fppo_rs": FPPORsPolicy,
+    "pluto": PlutoPolicy,
+    "sft_pluto": SFTPlutoPolicy,
+    "rtr_pluto": RTRPlutoPolicy,
+    "rs_pluto": RSPlutoPolicy,
+    "reinforce_pluto": ReinforcePlutoPolicy,
+    "ppo_pluto": PPOPlutoPolicy,
+    "grpo_pluto": GRPOPlutoPolicy,
+    "rift_pluto": RIFTPlutoPolicy,
+}
+
+
+# ---------------------------------------------------------------------------
+# Ego policies
+# ---------------------------------------------------------------------------
+class PDMLiteEgo:
+    """'pdm_lite' — the default privileged rule expert."""
+
+    name = "pdm_lite"
+    type = "unlearnable"
+
+    def __init__(self, tmap, cfg=None):
+        self.tmap = tmap
+
+    def act(self, spec, state):
+        from .ego.pdm_ego import pdm_ego_waypoints
+
+        return pdm_ego_waypoints(spec, state, self.tmap)
+
+
+class BehaviorEgo(PDMLiteEgo):
+    """'behavior' — CARLA BehaviorAgent equivalent: the simpler leader-gap
+    IDM route follower (ego/rule_ego.py)."""
+
+    name = "behavior"
+
+    def act(self, spec, state):
+        from .ego.rule_ego import rule_ego_waypoints
+
+        return rule_ego_waypoints(spec, state)
+
+
+class ExpertEgo(PDMLiteEgo):
+    """'expert' — leaderboard-autopilot variant (same privileged core)."""
+
+    name = "expert"
+
+
+class ExpertDisturbEgo(PDMLiteEgo):
+    """'expert_disturb' — expert with injected waypoint noise
+    (rift/ego/expert_disturb.py:56)."""
+
+    name = "expert_disturb"
+
+    def __init__(self, tmap, cfg=None, noise_std=0.3, seed=0):
+        super().__init__(tmap, cfg)
+        self.noise_std = (cfg or {}).get("noise_std", noise_std)
+        self.rng = jax.random.PRNGKey(seed)
+
+    def act(self, spec, state):
+        wp = super().act(spec, state)
+        self.rng, k = jax.random.split(self.rng)
+        return wp + self.noise_std * jax.random.normal(k, wp.shape)
+
+
+class PlanTEgo:
+    """'plant' — learned object-token transformer ego."""
+
+    name = "plant"
+    type = "il"
+
+    def __init__(self, tmap, cfg=None, seed=0):
+        from .models.plant import PlanTModel
+
+        cfg = cfg or {}
+        self.tmap = tmap
+        self.model = PlanTModel(
+            dim=cfg.get("dim", 512),
+            num_layers=cfg.get("num_layers", 8),
+            num_heads=cfg.get("num_heads", 8),
+        )
+        self.params = None
+        self.rng = jax.random.PRNGKey(cfg.get("seed", seed))
+
+    def act(self, spec, state):
+        from .models.plant import build_plant_tokens, plant_ego_waypoints
+
+        if self.params is None:
+            tokens, target, light = build_plant_tokens(spec, state)
+            self.rng, k = jax.random.split(self.rng)
+            self.params = jax.jit(self.model.init)(k, tokens, target, light)
+        return plant_ego_waypoints(self.model, self.params, spec, state)
+
+
+class EgoPPO:
+    """'ppo' — MLP PPO ego on the relative-state obs (rift/ego/rl/ppo.py)."""
+
+    name = "ppo"
+    type = "rl"
+
+    def __init__(self, tmap, cfg=None):
+        self.tmap = tmap
+        self.ppo = ClassicPPO(seed=(cfg or {}).get("seed", 0))
+        self.rng = jax.random.PRNGKey(0)
+
+    def act(self, spec, state):
+        # returns raw control for slot 0 through the ctrl interface
+        from .rl.classic import ego_normal_obs
+
+        S = state.alive.shape[0]
+        cursor = jnp.minimum(
+            state.ego_route_cursor.astype(jnp.int32) + 10,
+            spec.ego_route_len - 1,
+        )
+        next_wp = jnp.take_along_axis(
+            spec.ego_route[..., :2], cursor[:, None, None].repeat(2, -1), axis=1
+        )[:, 0]
+        obs = ego_normal_obs(state, next_wp)
+        self.rng, k = jax.random.split(self.rng)
+        action, _ = self.ppo.act(self.ppo.params, obs, k)
+        return rl_action_to_control(action)  # [S, 3] raw control
+
+
+class E2EStub:
+    """'vad' / 'uniad' / 'sparsedrive' — end-to-end camera AV stacks. The
+    kinematic tick has no camera rendering yet (SURVEY.md §7 stage 9);
+    these register the interface and fail loudly."""
+
+    type = "e2e"
+
+    def __init__(self, tmap, cfg=None):
+        raise NotImplementedError(
+            f"{self.name}: E2E camera AV stacks need the sensor-rendering "
+            "bridge (planned; see DESIGN.md roadmap)."
+        )
+
+
+class VADStub(E2EStub):
+    name = "vad"
+
+
+class UniADStub(E2EStub):
+    name = "uniad"
+
+
+class SparseDriveStub(E2EStub):
+    name = "sparsedrive"
+
+
+EGO_POLICY_LIST: dict[str, Callable] = {
+    "behavior": BehaviorEgo,
+    "ppo": EgoPPO,
+    "expert": ExpertEgo,
+    "plant": PlanTEgo,
+    "expert_disturb": ExpertDisturbEgo,
+    "pdm_lite": PDMLiteEgo,
+    "vad": VADStub,
+    "uniad": UniADStub,
+    "sparsedrive": SparseDriveStub,
+}
+
+# recognition registry (rift/cbv/recognition/__init__.py:12)
+from .scenario.recognition import attn_recognize_cbvs, recognize_cbvs  # noqa: E402
+
+CBV_RECOGNITION_LIST = {
+    "rule": recognize_cbvs,
+    "attention": attn_recognize_cbvs,
+}
