@@ -133,3 +133,22 @@ def test_attn_recognition():
     # never promotes the ego
     assert not bool(is_cbv[:, 0].any())
     assert int(is_cbv.sum(-1).max()) <= 2
+
+
+def test_collect_buffer_hdf5(tmp_path):
+    from rift_tpu.rl.collect import CollectBuffer
+
+    tm = make_straight_town(length=300.0, num_lanes=2)
+    env = TrafficEnv(tm, num_scenarios=1, num_agents=4, seed=30)
+    state, crit, spec = env.reset()
+    buf = CollectBuffer(str(tmp_path / "data"), "pdm_lite", "standard")
+    assert not buf.exists()
+    for _ in range(10):
+        state, crit = env.step(state, crit)
+        buf.store(state)
+    path = buf.save()
+    assert buf.exists()
+    data = CollectBuffer.load(path)
+    assert data["pos"].shape == (10, 1, 4, 2)
+    assert data["rl_action"].shape == (10, 1, 4, 2)
+    assert (data["tick"][:, 0] == np.arange(1, 11)).all()
