@@ -18,13 +18,36 @@ LANE_CHANGE_COST = 15.0  # discourage but allow lane changes, like the
 # reference's topology graph which includes adjacent-lane edges
 
 
+_HOST_CACHE: dict[int, dict] = {}
+
+
+def host_map(tmap: TensorMap) -> dict:
+    """Host (numpy) copies of map arrays, cached per map — each np.asarray
+    of a device array is a device->host transfer, expensive over a tunnel."""
+    key = id(tmap.centerline)
+    if key not in _HOST_CACHE:
+        _HOST_CACHE[key] = {
+            "successors": np.asarray(tmap.successors),
+            "left_adj": np.asarray(tmap.left_adj),
+            "right_adj": np.asarray(tmap.right_adj),
+            "length": np.asarray(tmap.length),
+            "valid": np.asarray(tmap.valid),
+            "centerline": np.asarray(tmap.centerline),
+            "headings": np.asarray(tmap.headings),
+            "road_id": np.asarray(tmap.road_id),
+            "lane_id": np.asarray(tmap.lane_id),
+        }
+    return _HOST_CACHE[key]
+
+
 def _host_arrays(tmap: TensorMap):
+    h = host_map(tmap)
     return (
-        np.asarray(tmap.successors),
-        np.asarray(tmap.left_adj),
-        np.asarray(tmap.right_adj),
-        np.asarray(tmap.length),
-        np.asarray(tmap.valid),
+        h["successors"],
+        h["left_adj"],
+        h["right_adj"],
+        h["length"],
+        h["valid"],
     )
 
 
@@ -68,16 +91,16 @@ def route_waypoints(tmap: TensorMap, lane_path: list[int], spacing: float = 1.0)
 
     Equivalent to interpolate_trajectory (route_manipulation.py:137-164).
     """
-    cl = np.asarray(tmap.centerline)
-    hd = np.asarray(tmap.headings)
+    hm = host_map(tmap)
+    cl, hd = hm["centerline"], hm["headings"]
     pts, hdg = [], []
     for k, li in enumerate(lane_path):
         p = cl[li]
-        h = hd[li]
+        ph = hd[li]
         if k > 0:
-            p, h = p[1:], h[1:]
+            p, ph = p[1:], ph[1:]
         pts.append(p)
-        hdg.append(h)
+        hdg.append(ph)
     pts = np.concatenate(pts)
     hdg = np.concatenate(hdg)
     seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
@@ -92,8 +115,8 @@ def route_waypoints(tmap: TensorMap, lane_path: list[int], spacing: float = 1.0)
 
 
 def nearest_lane_host(tmap: TensorMap, point) -> int:
-    cl = np.asarray(tmap.centerline)
-    valid = np.asarray(tmap.valid)
+    h = host_map(tmap)
+    cl, valid = h["centerline"], h["valid"]
     d2 = ((cl - np.asarray(point)[None, None, :]) ** 2).sum(-1).min(-1)
     d2[~valid] = np.inf
     return int(np.argmin(d2))
@@ -101,8 +124,9 @@ def nearest_lane_host(tmap: TensorMap, point) -> int:
 
 def route_road_lane_ids(tmap: TensorMap, lane_path: list[int], pad_to: int = 64):
     """Fixed-size (road_ids, lane_ids) arrays for on_route_mask, padded -1."""
-    rid = np.asarray(tmap.road_id)[lane_path]
-    lid = np.asarray(tmap.lane_id)[lane_path]
+    h = host_map(tmap)
+    rid = h["road_id"][lane_path]
+    lid = h["lane_id"][lane_path]
     out_r = np.full(pad_to, -1, np.int32)
     out_l = np.zeros(pad_to, np.int32)
     n = min(len(rid), pad_to)

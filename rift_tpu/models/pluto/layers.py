@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -69,11 +70,24 @@ class PointsEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, mask):
         # x: (..., N, C); mask: (..., N)
+        # flatten leading dims to 3D: the TPU compiler's fusion pass hits an
+        # internal TransformWindow assertion on >=4D masked max-reductions
+        # (observed on v5e); 3D also matches the reference's reshape.
+        batch = x.shape[:-2]
+        if len(batch) > 1:
+            out = PointsEncoder(self.out_dim, name="flat")(
+                x.reshape((-1,) + x.shape[-2:]),
+                mask.reshape((-1,) + mask.shape[-1:]),
+            )
+            return out.reshape(batch + (self.out_dim,))
         h = nn.Dense(128)(x)
         h = nn.LayerNorm()(h)
         h = nn.relu(h)
         h = nn.Dense(256)(h)
         h = jnp.where(mask[..., None], h, -1e9)
+        # barrier: fusing this masked max with its MLP producer trips an
+        # internal TransformWindow assertion in the v5e XLA fusion pass
+        h = jax.lax.optimization_barrier(h)
         pooled = h.max(axis=-2, keepdims=True)
         h = jnp.concatenate([h, jnp.broadcast_to(pooled, h.shape)], axis=-1)
         h = nn.Dense(256)(h)
@@ -81,6 +95,7 @@ class PointsEncoder(nn.Module):
         h = nn.relu(h)
         h = nn.Dense(self.out_dim)(h)
         h = jnp.where(mask[..., None], h, -1e9)
+        h = jax.lax.optimization_barrier(h)
         out = h.max(axis=-2)
         # all-masked rows would be -1e9 -> zero them
         any_valid = mask.any(axis=-1)

@@ -89,7 +89,9 @@ class PlutoPolicy:
         feats, _ = build_cbv_features(self.tmap, state, slots, masks)
         flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), feats)
         self.rng, k = jax.random.split(self.rng)
-        self.params = jax.jit(self.model.init)(k, flat)
+        from .utils.cache import init_params_on_cpu
+
+        self.params = init_params_on_cpu(self.model.init, k, flat)
 
     def act(self, spec, state, train=False):
         self.maybe_init(spec, state)

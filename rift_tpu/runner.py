@@ -75,9 +75,11 @@ class Runner:
         feats, _ = build_cbv_features(self.tmap, state, slots, masks)
         flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), feats)
         self.rng, k = jax.random.split(self.rng)
-        # jitted init: eager flax init dispatches thousands of tiny ops,
-        # pathological through a tunneled TPU backend
-        self.params = jax.jit(self.model.init)(k, flat)
+        # init on CPU: flax init is a huge one-shot graph; compiling it on
+        # the TPU costs minutes (see utils/cache.py)
+        from .utils.cache import init_params_on_cpu
+
+        self.params = init_params_on_cpu(self.model.init, k, flat)
         self._feat_template = jax.tree.map(lambda x: x[0, 0], feats)
         return state, crit, spec
 

@@ -67,6 +67,9 @@ class CriteriaState:
 
 
 def init_criteria(num_scenarios: int, num_agents: int) -> CriteriaState:
+    """Host-side (numpy) build; callers device_put with the state."""
+    import numpy as jnp  # noqa: F811 — numpy aliased to build host-side
+
     S, A = num_scenarios, num_agents
     z = jnp.zeros(S, jnp.int32)
     f = jnp.zeros(S, jnp.float32)

@@ -27,7 +27,7 @@ from ..map.routing import (
     trace_route,
 )
 from ..map.tensor_map import TensorMap
-from ..sim.state import ScenarioSpec, SimState, init_sim_state
+from ..sim.state import ScenarioSpec, SimState, init_sim_state_host
 from ..sim.world import cbv_reached_goal, step as world_step
 from .criteria import CriteriaState, init_criteria, update_criteria
 from .recognition import (
@@ -89,12 +89,12 @@ def make_scenario_spec(
         rr[i], rl[i] = route_road_lane_ids(tmap, path, pad_to=RIDS_PAD)
         timeout[i] = int(n * TIMEOUT_SEC_PER_M * fps)
     return ScenarioSpec(
-        ego_route=jnp.asarray(ego_route),
-        ego_route_len=jnp.asarray(ego_route_len),
-        route_road_ids=jnp.asarray(rr),
-        route_lane_ids=jnp.asarray(rl),
-        ego_target_speed=jnp.full((S,), ego_target_speed, jnp.float32),
-        timeout_ticks=jnp.asarray(timeout),
+        ego_route=ego_route,
+        ego_route_len=ego_route_len,
+        route_road_ids=rr,
+        route_lane_ids=rl,
+        ego_target_speed=np.full((S,), ego_target_speed, np.float32),
+        timeout_ticks=timeout,
     )
 
 
@@ -111,11 +111,14 @@ def spawn_agents(
     ego-clearance filter)."""
     S = int(spec.ego_route_len.shape[0])
     A = num_agents
+    from ..map.routing import host_map
+
+    h = host_map(tmap)
     ego_route = np.asarray(spec.ego_route)
     route_len = np.asarray(spec.ego_route_len)
-    centerline = np.asarray(tmap.centerline)
-    headings_l = np.asarray(tmap.headings)
-    valid_lanes = np.asarray(tmap.valid)
+    centerline = h["centerline"]
+    headings_l = h["headings"]
+    valid_lanes = h["valid"]
 
     pos = np.zeros((S, A, 2), np.float32)
     heading = np.zeros((S, A), np.float32)
@@ -156,21 +159,22 @@ def spawn_agents(
             placed.append(p)
             k += 1
 
-    state = init_sim_state(S, A, rng=jnp.asarray(
-        rng.integers(0, 2**32, size=(S, 2), dtype=np.uint32)
-    ))
-    posj = jnp.asarray(pos)
-    state = state.replace(
-        pos=posj,
-        heading=jnp.asarray(heading),
-        alive=jnp.asarray(alive),
-        lane=tmap.nearest_lane(posj),
-        bv_branch_bits=jnp.asarray(bits),
-        hist_pos=state.hist_pos.at[:, :, -1].set(posj),
-        hist_heading=state.hist_heading.at[:, :, -1].set(jnp.asarray(heading)),
-        hist_valid=state.hist_valid.at[:, :, -1].set(jnp.asarray(alive)),
+    # host-side assembly, single device transfer (remote-TPU eager ops are
+    # one compile RPC each — see sim/state.py:init_sim_state)
+    state = init_sim_state_host(
+        S, A, rng=rng.integers(0, 2**32, size=(S, 2), dtype=np.uint32)
     )
-    return state
+    # host nearest-lane
+    d2 = ((centerline[None, None] - pos[:, :, None, None, :]) ** 2).sum(-1).min(-1)
+    d2[:, :, ~valid_lanes] = np.inf
+    lane = d2.argmin(-1).astype(np.int32)
+
+    state = state.replace(pos=pos, heading=heading, alive=alive, lane=lane,
+                          bv_branch_bits=bits)
+    state.hist_pos[:, :, -1] = pos
+    state.hist_heading[:, :, -1] = heading
+    state.hist_valid[:, :, -1] = alive
+    return jax.device_put(state)
 
 
 # ---------------------------------------------------------------------------
@@ -287,9 +291,11 @@ class TrafficEnv:
                 wps, path = sample_route(self.tmap, self.rng)
                 routes.append(wps)
                 lane_paths.append(path)
-        self.spec = make_scenario_spec(self.tmap, routes, lane_paths)
+        self.spec = jax.device_put(
+            make_scenario_spec(self.tmap, routes, lane_paths)
+        )
         state = spawn_agents(self.tmap, self.spec, self.num_agents, self.rng)
-        crit = init_criteria(self.num_scenarios, self.num_agents)
+        crit = jax.device_put(init_criteria(self.num_scenarios, self.num_agents))
         return state, crit, self.spec
 
     def step(self, state, crit, cbv_traj=None, cbv_traj_mask=None, ego_traj=None):

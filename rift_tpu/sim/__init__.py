@@ -1,6 +1,6 @@
 from .dynamics import bicycle_forecast_step, bicycle_step
 from .pid import PIDState, TrackerState, pid_step, track_step
-from .state import DEFAULT_SHAPE, HISTORY_STEPS, ScenarioSpec, SimState, init_sim_state
+from .state import DEFAULT_SHAPE, HISTORY_STEPS, ScenarioSpec, SimState, init_sim_state, init_sim_state_host
 from .autopilot import (
     LeaderInfo,
     chain_lanes_free,
@@ -21,6 +21,7 @@ __all__ = [
     "SimState",
     "ScenarioSpec",
     "init_sim_state",
+    "init_sim_state_host",
     "HISTORY_STEPS",
     "DEFAULT_SHAPE",
     "LeaderInfo",

@@ -93,37 +93,64 @@ class ScenarioSpec:
 def init_sim_state(
     num_scenarios: int,
     num_agents: int,
-    rng: jnp.ndarray | None = None,
+    rng=None,
 ) -> SimState:
+    """Initial state on the default device (one bulk transfer)."""
+    import jax
+
+    return jax.device_put(init_sim_state_host(num_scenarios, num_agents, rng))
+
+
+def init_sim_state_host(
+    num_scenarios: int,
+    num_agents: int,
+    rng=None,
+) -> SimState:
+    """Build the initial state HOST-SIDE (numpy) — mutable for spawn
+    logic, transferred in one device_put. Eager per-array device ops are
+    pathological on remote TPU backends (one compile RPC per op)."""
+    import numpy as onp
+
+    from .pid import PID_WINDOW, PIDState
+
     S, A = num_scenarios, num_agents
     if rng is None:
-        rng = jnp.zeros((S, 2), jnp.uint32)
-    return SimState(
-        pos=jnp.zeros((S, A, 2), jnp.float32),
-        heading=jnp.zeros((S, A), jnp.float32),
-        speed=jnp.zeros((S, A), jnp.float32),
-        accel=jnp.zeros((S, A), jnp.float32),
-        yaw_rate=jnp.zeros((S, A), jnp.float32),
-        control=jnp.zeros((S, A, 3), jnp.float32),
-        alive=jnp.zeros((S, A), bool),
-        is_cbv=jnp.zeros((S, A), bool),
-        shape=jnp.broadcast_to(
-            jnp.asarray(DEFAULT_SHAPE, jnp.float32), (S, A, 2)
-        ),
-        hist_pos=jnp.zeros((S, A, HISTORY_STEPS, 2), jnp.float32),
-        hist_heading=jnp.zeros((S, A, HISTORY_STEPS), jnp.float32),
-        hist_vel=jnp.zeros((S, A, HISTORY_STEPS, 2), jnp.float32),
-        hist_valid=jnp.zeros((S, A, HISTORY_STEPS), bool),
-        lane=jnp.zeros((S, A), jnp.int32),
-        bv_branch_bits=jnp.zeros((S, A), jnp.uint32),
-        goal=jnp.zeros((S, A, 2), jnp.float32),
-        goal_valid=jnp.zeros((S, A), bool),
-        tracker=TrackerState.zeros((S, A)),
-        collision=jnp.zeros((S, A), bool),
-        collided_with=jnp.full((S, A), -1, jnp.int32),
-        offroad=jnp.zeros((S, A), bool),
-        ego_red_entry=jnp.zeros(S, bool),
-        ego_route_cursor=jnp.zeros(S, jnp.float32),
-        tick=jnp.zeros(S, jnp.int32),
-        rng=rng,
+        rng = onp.zeros((S, 2), onp.uint32)
+
+    def pid():
+        return PIDState(
+            buf=onp.zeros((S, A, PID_WINDOW), onp.float32),
+            ptr=onp.zeros((S, A), onp.int32),
+            count=onp.zeros((S, A), onp.int32),
+        )
+
+    host_state = SimState(
+        pos=onp.zeros((S, A, 2), onp.float32),
+        heading=onp.zeros((S, A), onp.float32),
+        speed=onp.zeros((S, A), onp.float32),
+        accel=onp.zeros((S, A), onp.float32),
+        yaw_rate=onp.zeros((S, A), onp.float32),
+        control=onp.zeros((S, A, 3), onp.float32),
+        alive=onp.zeros((S, A), bool),
+        is_cbv=onp.zeros((S, A), bool),
+        shape=onp.broadcast_to(
+            onp.asarray(DEFAULT_SHAPE, onp.float32), (S, A, 2)
+        ).copy(),
+        hist_pos=onp.zeros((S, A, HISTORY_STEPS, 2), onp.float32),
+        hist_heading=onp.zeros((S, A, HISTORY_STEPS), onp.float32),
+        hist_vel=onp.zeros((S, A, HISTORY_STEPS, 2), onp.float32),
+        hist_valid=onp.zeros((S, A, HISTORY_STEPS), bool),
+        lane=onp.zeros((S, A), onp.int32),
+        bv_branch_bits=onp.zeros((S, A), onp.uint32),
+        goal=onp.zeros((S, A, 2), onp.float32),
+        goal_valid=onp.zeros((S, A), bool),
+        tracker=TrackerState(speed=pid(), turn=pid()),
+        collision=onp.zeros((S, A), bool),
+        collided_with=onp.full((S, A), -1, onp.int32),
+        offroad=onp.zeros((S, A), bool),
+        ego_red_entry=onp.zeros(S, bool),
+        ego_route_cursor=onp.zeros(S, onp.float32),
+        tick=onp.zeros(S, onp.int32),
+        rng=onp.asarray(rng, onp.uint32),
     )
+    return host_state

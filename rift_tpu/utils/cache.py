@@ -20,3 +20,33 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    _ensure_cpu_fallback()
+
+
+def _ensure_cpu_fallback() -> None:
+    """Keep the CPU platform available alongside the TPU so init-time work
+    (flax param init — a huge one-shot graph) compiles on the host instead
+    of paying minutes of TPU compile. Call before any backend initialises."""
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    if platforms and "cpu" not in platforms:
+        try:
+            jax.config.update("jax_platforms", platforms + ",cpu")
+        except Exception:
+            pass
+
+
+def init_params_on_cpu(init_fn, *args):
+    """Run a flax `init` on CPU and move the params to the default device."""
+    _ensure_cpu_fallback()
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return jax.jit(init_fn)(*args)
+    args_cpu = jax.tree.map(lambda x: jax.device_put(x, cpu), args)
+    with jax.default_device(cpu):
+        params = jax.jit(init_fn)(*args_cpu)
+        params = jax.tree.map(lambda x: x.block_until_ready(), params)
+    default = jax.devices()[0]
+    if default.platform != "cpu":
+        params = jax.device_put(params, default)
+    return params
