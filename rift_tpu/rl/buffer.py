@@ -83,11 +83,17 @@ def ring_reset(buf: RingBuffer) -> RingBuffer:
 def sample_batches(buf: RingBuffer, rng: jax.Array, batch_size: int, num_batches: int):
     """Shuffled batch indices for one epoch over the filled region.
 
-    Returns [num_batches, batch_size] int32 indices (sampled with replacement
-    if the buffer holds fewer than num_batches*batch_size samples).
+    When the buffer holds a full epoch, indices are a without-replacement
+    permutation (the reference's shuffled dataloader semantics,
+    fine_tuner/rlft/rift_pluto/rift_datamodule.py); otherwise samples are
+    drawn with replacement. Host-side call (concrete `buf.size`).
     """
     total = num_batches * batch_size
-    idx = jax.random.randint(rng, (total,), 0, jnp.maximum(buf.size, 1))
+    size = int(buf.size)
+    if size >= total:
+        idx = jax.random.permutation(rng, size)[:total]
+    else:
+        idx = jax.random.randint(rng, (total,), 0, max(size, 1))
     return idx.reshape(num_batches, batch_size)
 
 

@@ -50,9 +50,11 @@ class CollectBuffer:
     def save(self) -> str:
         import h5py
 
+        # never create/truncate on an empty buffer: exists()-based resume
+        # would then permanently skip re-collecting this ego/cbv pair
+        if not self.frames:
+            return self.h5_path
         with h5py.File(self.h5_path, "w") as f:
-            if not self.frames:
-                return self.h5_path
             keys = self.frames[0].keys()
             for k in keys:
                 data = np.stack([fr[k] for fr in self.frames])

@@ -117,7 +117,9 @@ def main(argv=None):
     tag = f"{ego.name}-{cbv.name}-seed{args.seed}"
     out_dir = os.path.join(args.out_dir, args.mode, tag)
     os.makedirs(out_dir, exist_ok=True)
-    stats = StatisticsManager(os.path.join(out_dir, "simulation_results.json"))
+    stats = StatisticsManager(
+        os.path.join(out_dir, "simulation_results.json"), resume=args.resume
+    )
     ckpt = CheckpointManager(os.path.join(out_dir, "model_ckpt"))
 
     start_ep = 0

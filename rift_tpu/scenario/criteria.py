@@ -182,12 +182,14 @@ def update_criteria(
         cbv_acc_sum=crit.cbv_acc_sum + (jnp.abs(state.accel) * cbv_f).sum(-1),
         cbv_jerk_sum=crit.cbv_jerk_sum + (jerk * cbv_f).sum(-1),
         cbv_count=crit.cbv_count + (n_cbv * running).astype(jnp.int32),
+        # gated on `running` like the speed/acc/jerk sums: frozen scenarios
+        # must not keep inflating the event counters vs the gated cbv_count
         cbv_offroad_ticks=crit.cbv_offroad_ticks
-        + (state.offroad & cbv).sum(-1).astype(jnp.int32),
+        + (state.offroad & cbv & running[:, None]).sum(-1).astype(jnp.int32),
         cbv_uncomfortable_ticks=crit.cbv_uncomfortable_ticks
-        + (uncomfortable & cbv).sum(-1).astype(jnp.int32),
+        + (uncomfortable & cbv & running[:, None]).sum(-1).astype(jnp.int32),
         cbv_collisions=crit.cbv_collisions
-        + new_cbv_col.sum(-1).astype(jnp.int32),
+        + (new_cbv_col & running[:, None]).sum(-1).astype(jnp.int32),
         prev_cbv_collision=state.collision & cbv,
         prev_cbv_acc=state.accel,
     )

@@ -59,10 +59,13 @@ class GlobalStats:
 
 
 class StatisticsManager:
-    def __init__(self, checkpoint_path: str | None = None):
+    def __init__(self, checkpoint_path: str | None = None, resume: bool = False):
+        """Records load from `checkpoint_path` only when `resume` is set
+        (the reference gates resume explicitly, carla_runner.py:513-527);
+        otherwise a stale results file is overwritten at the first save."""
         self.records: list[RouteRecord] = []
         self.checkpoint_path = checkpoint_path
-        if checkpoint_path and os.path.exists(checkpoint_path):
+        if resume and checkpoint_path and os.path.exists(checkpoint_path):
             self._load()
 
     # ------------------------------------------------------------------

@@ -35,7 +35,7 @@ def test_e2e_stubs_fail_loudly():
         EGO_POLICY_LIST["vad"](None, {})
 
 
-def test_cli_eval_standard_mode():
+def test_cli_eval_standard_mode(tmp_path):
     from rift_tpu.run import main
 
     g = main(
@@ -43,14 +43,30 @@ def test_cli_eval_standard_mode():
             "--mode", "eval", "--ego_cfg", "pdm_lite", "--cbv_cfg", "standard",
             "--num_scenario", "2", "--num_agents", "6", "--num_episodes", "1",
             "--max_ticks", "60", "--town", "straight",
-            "--out_dir", "/tmp/rift_tpu_test_log",
+            "--out_dir", str(tmp_path),
         ]
     )
     assert g.total_routes == 2
     assert g.avg_route_completion > 0
 
 
-def test_cli_train_cbv_classic_ppo():
+def test_cli_eval_does_not_resume_unasked(tmp_path):
+    """A second run over the same out_dir must NOT append to stale records
+    (reference gates resume on the explicit flag, carla_runner.py:513-527)."""
+    from rift_tpu.run import main
+
+    args = [
+        "--mode", "eval", "--ego_cfg", "pdm_lite", "--cbv_cfg", "standard",
+        "--num_scenario", "1", "--num_agents", "6", "--num_episodes", "1",
+        "--max_ticks", "30", "--town", "straight", "--out_dir", str(tmp_path),
+    ]
+    g1 = main(args)
+    g2 = main(args)
+    assert g1.total_routes == 1
+    assert g2.total_routes == 1
+
+
+def test_cli_train_cbv_classic_ppo(tmp_path):
     from rift_tpu.run import main
 
     g = main(
@@ -58,7 +74,7 @@ def test_cli_train_cbv_classic_ppo():
             "--mode", "eval", "--ego_cfg", "behavior", "--cbv_cfg", "ppo",
             "--num_scenario", "1", "--num_agents", "6", "--num_episodes", "1",
             "--max_ticks", "40", "--town", "straight",
-            "--out_dir", "/tmp/rift_tpu_test_log2",
+            "--out_dir", str(tmp_path),
         ]
     )
     assert g.total_routes == 1
