@@ -9,7 +9,11 @@ checks and leaderboard criteria, across all scenarios at once. Ticks run in
 fused chunks of CHUNK steps (rift_tpu.rollout.rollout_chunk) so per-dispatch
 latency amortizes.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Also measures the flagship train_cbv path (planner + fused GRPO evaluator +
+buffer sample emission per tick) and reports it as `train_mode_value` in the
+same JSON line. Prints ONE JSON line:
+  {"metric", "value", "unit", "vs_baseline", "train_mode_value",
+   "world_only_value", "compile_s"}
 """
 
 from __future__ import annotations
@@ -28,12 +32,27 @@ BASELINE_ENV_STEPS_PER_S = 15.0
 CHUNK = 10
 
 
+def measure(fn, state, crit, chunks, warmup=1):
+    t0 = time.perf_counter()
+    s, c = state, crit
+    for _ in range(warmup):
+        s, c = fn(s, c)
+    jax.block_until_ready(s.pos)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s, c = state, crit
+    for _ in range(chunks):
+        s, c = fn(s, c)
+    jax.block_until_ready(s.pos)
+    return time.perf_counter() - t0, compile_s
+
+
 def main(
     num_scenarios: int = 64,
     num_agents: int = 24,
     max_cbvs: int = 3,
     chunks: int = 10,
-    warmup_chunks: int = 1,
+    train_chunks: int = 5,
 ):
     from rift_tpu.map import make_grid_town
     from rift_tpu.rollout import rollout_chunk
@@ -50,34 +69,41 @@ def main(
     r = Runner(tmap, cfg)
     state, crit, spec = r.init_params()
 
-    def tick_chunk(state, crit):
-        state, crit, _ = rollout_chunk(
-            r.model, r.params, tmap, spec, state, crit,
-            max_cbvs=max_cbvs, num_steps=CHUNK,
-        )
-        return state, crit
+    def mk(train, with_policy=True):
+        def fn(s, c):
+            s, c, _ = rollout_chunk(
+                r.model, r.params, r.tmap, spec, s, c,
+                max_cbvs=max_cbvs, num_steps=CHUNK, train=train,
+                with_policy=with_policy,
+            )
+            return s, c
+        return fn
 
-    t0 = time.perf_counter()
-    for _ in range(warmup_chunks):
-        state, crit = tick_chunk(state, crit)
-    jax.block_until_ready(state.pos)
-    compile_s = time.perf_counter() - t0
-    print(f"# warmup+compile: {compile_s:.1f}s", file=sys.stderr)
+    steps = CHUNK * num_scenarios
 
-    t0 = time.perf_counter()
-    for _ in range(chunks):
-        state, crit = tick_chunk(state, crit)
-    jax.block_until_ready(state.pos)
-    dt = time.perf_counter() - t0
+    dt_world, _ = measure(mk(False, with_policy=False), state, crit, chunks)
+    world_sps = chunks * steps / dt_world
+    print(f"# world-only: {world_sps:,.0f} env-steps/s", file=sys.stderr)
 
-    env_steps_per_s = chunks * CHUNK * num_scenarios / dt
+    dt_eval, compile_s = measure(mk(False), state, crit, chunks)
+    eval_sps = chunks * steps / dt_eval
+    print(f"# eval: {eval_sps:,.0f} env-steps/s (compile {compile_s:.1f}s)",
+          file=sys.stderr)
+
+    dt_train, _ = measure(mk(True), state, crit, train_chunks)
+    train_sps = train_chunks * steps / dt_train
+    print(f"# train_cbv: {train_sps:,.0f} env-steps/s", file=sys.stderr)
+
     print(
         json.dumps(
             {
                 "metric": "closed_loop_env_steps_per_sec_per_chip",
-                "value": round(env_steps_per_s, 1),
+                "value": round(eval_sps, 1),
                 "unit": f"env-steps/s @ {num_scenarios} scenarios x {num_agents} agents, Pluto CBVs",
-                "vs_baseline": round(env_steps_per_s / BASELINE_ENV_STEPS_PER_S, 1),
+                "vs_baseline": round(eval_sps / BASELINE_ENV_STEPS_PER_S, 1),
+                "train_mode_value": round(train_sps, 1),
+                "world_only_value": round(world_sps, 1),
+                "compile_s": round(compile_s, 1),
             }
         )
     )

@@ -56,27 +56,34 @@ def obb_overlap(
     """Elementwise SAT overlap of box pairs; all args broadcast. Returns bool (...,).
 
     shape = [width, length].
-    """
-    corners_a = box_corners(center_a, heading_a, shape_a)  # (..., 4, 2)
-    corners_b = box_corners(center_b, heading_b, shape_b)
-    axes_a = _axes_from_heading(heading_a)
-    axes_b = _axes_from_heading(heading_b)
-    batch = jnp.broadcast_shapes(axes_a.shape[:-2], axes_b.shape[:-2])
-    axes = jnp.concatenate(
-        [
-            jnp.broadcast_to(axes_a, batch + (2, 2)),
-            jnp.broadcast_to(axes_b, batch + (2, 2)),
-        ],
-        axis=-2,
-    )  # (..., 4, 2)
-    corners_a = jnp.broadcast_to(corners_a, batch + (4, 2))
-    corners_b = jnp.broadcast_to(corners_b, batch + (4, 2))
 
-    # project both corner sets on each axis: (..., n_axes, 4)
-    pa = jnp.einsum("...kd,...cd->...kc", axes, corners_a)
-    pb = jnp.einsum("...kd,...cd->...kc", axes, corners_b)
-    sep = (pa.max(-1) < pb.min(-1)) | (pb.max(-1) < pa.min(-1))  # (..., n_axes)
-    return ~sep.any(-1)
+    Closed-form rectangle SAT: boxes are separated along axis u iff
+    |(c_b - c_a).u| > h_a(u) + h_b(u), where a box's half-extent on u is
+    h(u) = (l/2)|f.u| + (w/2)|s.u| with f/s its length/width axes. Pure
+    elementwise math — no corner tensors, no per-pair dot_generals (a tiny
+    einsum over millions of pairs gets tile-padded on the MXU and blows
+    HBM; this formulation stays on the VPU at O(1) memory per pair).
+    """
+    ca, sa = jnp.cos(heading_a), jnp.sin(heading_a)
+    cb, sb = jnp.cos(heading_b), jnp.sin(heading_b)
+    hw_a, hl_a = 0.5 * shape_a[..., 0], 0.5 * shape_a[..., 1]
+    hw_b, hl_b = 0.5 * shape_b[..., 0], 0.5 * shape_b[..., 1]
+    tx = center_b[..., 0] - center_a[..., 0]
+    ty = center_b[..., 1] - center_a[..., 1]
+
+    def half_extent(ux, uy, c, s, hl, hw):
+        # f = (c, s), side = (-s, c)
+        return hl * jnp.abs(ux * c + uy * s) + hw * jnp.abs(-ux * s + uy * c)
+
+    sep = None
+    # the four face normals: f_a, s_a, f_b, s_b
+    for ux, uy in ((ca, sa), (-sa, ca), (cb, sb), (-sb, cb)):
+        dist = jnp.abs(tx * ux + ty * uy)
+        ha = half_extent(ux, uy, ca, sa, hl_a, hw_a)
+        hb = half_extent(ux, uy, cb, sb, hl_b, hw_b)
+        s_k = dist > ha + hb
+        sep = s_k if sep is None else (sep | s_k)
+    return ~sep
 
 
 def obb_overlap_matrix(

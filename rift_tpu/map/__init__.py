@@ -1,6 +1,6 @@
 from .tensor_map import LANE_POINTS, TensorMap, build_tensor_map
 from .compiler import compile_town, compile_town_from_npz, load_npz
-from .reference_lines import extract_reference_lines
+from .reference_lines import build_lane_chains, reference_lines_from_chains
 from .routing import (
     nearest_lane_host,
     route_road_lane_ids,
@@ -16,7 +16,8 @@ __all__ = [
     "compile_town",
     "compile_town_from_npz",
     "load_npz",
-    "extract_reference_lines",
+    "build_lane_chains",
+    "reference_lines_from_chains",
     "trace_route",
     "route_waypoints",
     "nearest_lane_host",

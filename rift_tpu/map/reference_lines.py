@@ -1,15 +1,17 @@
-"""On-device reference-line extraction.
+"""On-device reference-line extraction from precomputed lane chains.
 
-Replaces CarlaMap.query_reference_lines (nuplan_map_utils.py:493-621): from
-the CBV's current lane, collect adjacent start lanes, traverse the successor
-topology restricted to the route, trim to `max_length` meters from the
-vehicle's projection, and emit fixed-shape [R, N, 3] (x, y, heading) lines
-with validity masks.
+Replaces CarlaMap.query_reference_lines (nuplan_map_utils.py:493-621). The
+reference runs a recursive DFS over lane topology per CBV per tick; here the
+topology walk happens ONCE per episode: `build_lane_chains` precomputes, for
+every (scenario, start lane, branch), the greedy successor chain preferring
+on-route successors and falling back to any successor — the tensor analogue
+of the reference's route-restricted DFS extended with random road options
+(route_planner.py:162-215). Per tick, a reference line is then pure gathers:
+chain lookup -> centerline points -> arclength resample. No scan, no sort.
 
-Design inversion: the reference's recursive DFS with dynamic path counts
-becomes a bounded unroll — one greedy route-restricted successor chain per
-start lane, plus one alternate branch at the current lane's first junction
-fork. R is fixed; unused slots are masked.
+Design inversion: the reference's dynamic path counts become a fixed R with
+masks; the "which successor at a fork" choice becomes two precomputed
+branches (primary / alternate-at-first-fork).
 """
 
 from __future__ import annotations
@@ -19,126 +21,129 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..geometry.polyline import project_point_to_polyline
 from .tensor_map import LANE_POINTS, TensorMap
 
-# Max lanes chained per reference line. 24 lanes x ~tens of meters covers the
+# Max lanes chained per reference line. 16 lanes x ~tens of meters covers the
 # reference's 120 m horizon on all towns.
 MAX_CHAIN = 16
+NUM_BRANCHES = 2  # primary chain + alternate branch at the first fork
 
 
-def _first_on_route_successor(
-    tmap: TensorMap, lane: jnp.ndarray, route_mask: jnp.ndarray, branch: jnp.ndarray
+@jax.jit
+def build_lane_chains(
+    tmap: TensorMap, route_lane_mask: jnp.ndarray
 ) -> jnp.ndarray:
-    """Next lane in the chain: the `branch`-th on-route successor (falling
-    back to the first on-route successor, then -1)."""
-    succ = tmap.successors[lane]  # [K]
-    ok = (succ >= 0) & route_mask[jnp.maximum(succ, 0)]
-    # indices of on-route successors, in order
-    order = jnp.argsort(~ok)  # valid first (stable)
-    succ_sorted = jnp.where(jnp.sort(~ok), -1, succ[order])
-    n_ok = ok.sum()
-    pick = jnp.minimum(branch, jnp.maximum(n_ok - 1, 0))
-    out = succ_sorted[pick]
-    return jnp.where(n_ok > 0, out, -1)
+    """[S, L] on-route mask -> [S, L, NUM_BRANCHES, MAX_CHAIN] lane chains.
+
+    Chain step preference: first on-route successor; if none, the first valid
+    successor (chains keep going off-route — the reference extends CBV routes
+    with random road options rather than stopping). Branch 1 takes the second
+    choice at the first fork encountered.
+    """
+    succ = tmap.successors  # [L, K]
+    ok = succ >= 0
+
+    def per_scenario(rmask):
+        on_route = ok & rmask[jnp.maximum(succ, 0)]
+        # order: on-route (0) < valid off-route (1) < invalid (2)
+        key = jnp.where(on_route, 0, jnp.where(ok, 1, 2))
+        order = jnp.argsort(key, axis=-1, stable=True)
+        succ_sorted = jnp.take_along_axis(succ, order, axis=-1)
+        n_pref = on_route.sum(-1)
+        n_valid = ok.sum(-1)
+        n_choice = jnp.where(n_pref > 0, n_pref, n_valid)  # [L]
+        next_primary = jnp.where(n_valid > 0, succ_sorted[:, 0], -1)
+        alt_ix = jnp.minimum(1, jnp.maximum(n_choice - 1, 0))
+        next_alt = jnp.where(
+            n_valid > 0,
+            jnp.take_along_axis(succ_sorted, alt_ix[:, None], axis=-1)[:, 0],
+            -1,
+        )
+        is_fork = n_choice > 1  # [L]
+
+        def chain_for_branch(use_alt):
+            lane0 = jnp.arange(succ.shape[0], dtype=jnp.int32)
+
+            def body(carry, _):
+                lane, pending_alt = carry
+                li = jnp.maximum(lane, 0)
+                take_alt = pending_alt & is_fork[li]
+                nxt = jnp.where(take_alt, next_alt[li], next_primary[li])
+                nxt = jnp.where(lane < 0, -1, nxt)
+                pending_alt = pending_alt & ~is_fork[li]
+                return (nxt, pending_alt), nxt
+
+            init = (lane0, jnp.broadcast_to(use_alt, lane0.shape))
+            _, rest = jax.lax.scan(body, init, None, length=MAX_CHAIN - 1)
+            return jnp.concatenate([lane0[None], rest]).T  # [L, MAX_CHAIN]
+
+        return jnp.stack(
+            [chain_for_branch(jnp.asarray(False)),
+             chain_for_branch(jnp.asarray(True))],
+            axis=1,
+        )  # [L, 2, MAX_CHAIN]
+
+    return jax.vmap(per_scenario)(route_lane_mask)
 
 
-def _chain_lanes(
-    tmap: TensorMap, start_lane: jnp.ndarray, route_mask: jnp.ndarray, branch_at_first_fork: jnp.ndarray
-) -> jnp.ndarray:
-    """Greedy successor chain from `start_lane` -> [MAX_CHAIN] lane indices
-    (-1 padded). `branch_at_first_fork` selects which successor to take at the
-    first fork encountered (0 = primary, 1 = alternate)."""
+def chain_polyline(tmap: TensorMap, chain: jnp.ndarray, position: jnp.ndarray):
+    """One chain [MAX_CHAIN] -> flattened polyline with arclength.
 
-    def body(carry, _):
-        lane, used_branch = carry
-        succ = tmap.successors[jnp.maximum(lane, 0)]
-        ok = (succ >= 0) & route_mask[jnp.maximum(succ, 0)]
-        n_ok = ok.sum()
-        is_fork = n_ok > 1
-        branch = jnp.where(is_fork & ~used_branch, branch_at_first_fork, 0)
-        nxt = _first_on_route_successor(tmap, jnp.maximum(lane, 0), route_mask, branch)
-        nxt = jnp.where(lane < 0, -1, nxt)
-        new_used = used_branch | (is_fork & (lane >= 0))
-        return (nxt, new_used), nxt
+    Returns (pts [N, 2], hdg [N], valid [N], s [N], s0 []) where N =
+    MAX_CHAIN * LANE_POINTS, invalid tail points pinned to the last valid
+    point (so interpolation beyond the chain stays put), and s0 is the
+    arclength of `position`'s projection onto the chain.
+    """
+    lane_valid = chain >= 0  # [MC] (prefix: -1 is absorbing)
+    pts = tmap.centerline[jnp.maximum(chain, 0)]  # [MC, P, 2]
+    hdg = tmap.headings[jnp.maximum(chain, 0)]  # [MC, P]
+    N = MAX_CHAIN * LANE_POINTS
+    valid = jnp.broadcast_to(lane_valid[:, None], (MAX_CHAIN, LANE_POINTS))
+    pts, hdg, valid = pts.reshape(N, 2), hdg.reshape(N), valid.reshape(N)
 
-    (_, _), rest = jax.lax.scan(
-        body, (start_lane, jnp.asarray(False)), None, length=MAX_CHAIN - 1
-    )
-    return jnp.concatenate([start_lane[None], rest])
+    # pin the invalid tail to the last valid point
+    n_valid = valid.sum()
+    last = pts[jnp.maximum(n_valid - 1, 0)]
+    last_h = hdg[jnp.maximum(n_valid - 1, 0)]
+    pts = jnp.where(valid[:, None], pts, last)
+    hdg = jnp.where(valid, hdg, last_h)
 
+    seg = jnp.linalg.norm(jnp.diff(pts, axis=0), axis=1)
+    s = jnp.concatenate([jnp.zeros(1), jnp.cumsum(seg)])
 
-def _chain_to_polyline(tmap: TensorMap, chain: jnp.ndarray):
-    """Gather centerline points of a lane chain -> ([N, 2] points, [N] heading,
-    [N] valid). Consecutive lanes share an endpoint; we drop each lane's first
-    vertex after the first lane (nuplan_map_utils.py:535-539 dedupe)."""
-    pts = tmap.centerline[jnp.maximum(chain, 0)]  # [MAX_CHAIN, P, 2]
-    hdg = tmap.headings[jnp.maximum(chain, 0)]  # [MAX_CHAIN, P]
-    lane_valid = chain >= 0
-    # drop first vertex of lanes 1..: build mask
-    keep = jnp.ones((MAX_CHAIN, LANE_POINTS), bool).at[1:, 0].set(False)
-    valid = lane_valid[:, None] & keep
-    n = MAX_CHAIN * LANE_POINTS
-    return pts.reshape(n, 2), hdg.reshape(n), valid.reshape(n)
-
-
-def _compact(points, heading, valid):
-    """Stable-compact valid entries to the front (fixed shape)."""
-    order = jnp.argsort(~valid)  # valid first, stable
-    return points[order], heading[order], valid[order]
+    d2 = jnp.sum((pts - position) ** 2, axis=-1)
+    d2 = jnp.where(valid, d2, jnp.inf)
+    s0 = s[jnp.argmin(d2)]
+    return pts, hdg, valid, s, s0
 
 
 @partial(jax.jit, static_argnames=("num_refs", "num_points", "max_length"))
-def extract_reference_lines(
+def reference_lines_from_chains(
     tmap: TensorMap,
-    position: jnp.ndarray,  # [2] vehicle position (rear axle)
-    route_mask: jnp.ndarray,  # [L] bool on-route lanes
+    chains_s: jnp.ndarray,  # [L, NUM_BRANCHES, MAX_CHAIN] this scenario's table
+    cur_lane: jnp.ndarray,  # [] int32 the vehicle's current lane
+    position: jnp.ndarray,  # [2]
     num_refs: int = 4,
     num_points: int = 120,
     max_length: float = 120.0,
 ):
-    """Reference lines for one vehicle.
+    """Reference lines for one vehicle: current lane, left/right adjacent
+    lanes (primary branch), and the current lane's alternate branch.
 
-    Returns dict with:
-      position [R, num_points, 2], vector [R, num_points, 2],
-      orientation [R, num_points], valid_mask [R, num_points]
-    sampled at ~1 m spacing over `max_length` meters ahead of the vehicle's
-    projection, matching get_reference_line_features
-    (pluto_feature_builder.py:361-402).
+    Returns dict position [R, num_points, 2] / vector / orientation /
+    valid_mask, at ~1 m spacing from the vehicle's chain projection, matching
+    get_reference_line_features (pluto_feature_builder.py:361-402).
     """
-    # prefer the nearest on-route lane; fall back to nearest lane overall
-    d2 = tmap.lane_point_dist2(position)
-    d2_route = jnp.where(route_mask, d2, jnp.inf)
-    lane_on_route = jnp.argmin(d2_route).astype(jnp.int32)
-    lane_any = jnp.argmin(d2).astype(jnp.int32)
-    cur = jnp.where(jnp.isfinite(d2_route[lane_on_route]), lane_on_route, lane_any)
-
-    # start lanes: current, left adjacent, right adjacent (same-sign check is
-    # encoded in the builder's adjacency), + alternate branch of current.
-    left = tmap.left_adj[cur]
-    right = tmap.right_adj[cur]
-    starts = jnp.stack([cur, left, right, cur])[:num_refs]
-    branches = jnp.arange(num_refs) == (num_refs - 1)  # last slot = alt branch
+    left = tmap.left_adj[cur_lane]
+    right = tmap.right_adj[cur_lane]
+    starts = jnp.stack([cur_lane, left, right, cur_lane])[:num_refs]
+    branches = (jnp.arange(num_refs) == (num_refs - 1)).astype(jnp.int32)
 
     def one_ref(start, branch):
         ok = start >= 0
-        chain = _chain_lanes(tmap, jnp.maximum(start, 0), route_mask, branch.astype(jnp.int32))
-        pts, hdg, valid = _chain_to_polyline(tmap, chain)
-        pts, hdg, valid = _compact(pts, hdg, valid)
-        valid &= ok
-
-        # arclength from the vehicle's projection onto the chain
-        seg = jnp.linalg.norm(jnp.diff(pts, axis=0), axis=1)
-        seg = jnp.where(valid[1:] & valid[:-1], seg, 0.0)
-        s = jnp.concatenate([jnp.zeros(1), jnp.cumsum(seg)])
-        # project position onto chain (only valid portion)
-        _, _, _ = 0, 0, 0
-        d2p = jnp.sum((pts - position) ** 2, axis=-1)
-        d2p = jnp.where(valid, d2p, jnp.inf)
-        i0 = jnp.argmin(d2p)
-        s0 = s[i0]
-        total = jnp.where(valid, s, 0.0).max()
-        # resample at 1 m from s0 to s0+max_length
+        chain = chains_s[jnp.maximum(start, 0), branch]
+        pts, hdg, valid, s, s0 = chain_polyline(tmap, chain, position)
+        total = s[-1]
         targets = s0 + jnp.arange(num_points, dtype=jnp.float32) * (
             max_length / num_points
         )
@@ -146,11 +151,7 @@ def extract_reference_lines(
         y = jnp.interp(targets, s, pts[:, 1])
         h = _interp_angle(targets, s, hdg)
         point_valid = (targets <= total + 1e-3) & ok
-        return (
-            jnp.stack([x, y], axis=-1),
-            h,
-            point_valid,
-        )
+        return jnp.stack([x, y], axis=-1), h, point_valid
 
     pos_r, ori_r, valid_r = jax.vmap(one_ref)(starts, branches)
 
@@ -177,7 +178,7 @@ def extract_reference_lines(
         "vector": vector,
         "orientation": ori_r,
         "valid_mask": valid_r,
-        "current_lane": cur,
+        "current_lane": cur_lane,
     }
 
 

@@ -29,6 +29,15 @@ from ..geometry.polyline import (
 # map_sample_points=20 (nuplan_map_utils.py:49).
 LANE_POINTS = 21
 
+# Spatial hash grid: each cell stores the GRID_K nearest distinct lanes to its
+# center. Replaces the reference's STRtree spatial index with an O(1) gather —
+# per-tick lane binding / drivable-area tests never scan all L lanes.
+# K must cover the worst-case lane overlap: a 2-lane 4-way junction has up to
+# ~24 connectors crossing its box, so 16 candidates + exact re-rank keeps the
+# nearest-lane binding faithful where it matters (signalised junctions).
+GRID_K = 16
+GRID_CELL = 2.0  # meters
+
 
 @struct.dataclass
 class TensorMap:
@@ -61,6 +70,15 @@ class TensorMap:
     # nuplan_map_utils.py:_get_crosswalk_edges
     crosswalk_edges: jnp.ndarray  # [C, 3, Pc, 2]
     crosswalk_valid: jnp.ndarray  # [C] bool
+    # spatial hash grid (host-precomputed): GRID_K nearest lanes per cell
+    grid_lanes: jnp.ndarray  # [GY, GX, GRID_K] int32
+    grid_origin: jnp.ndarray  # [2] float32 world position of cell (0, 0)
+    grid_inv_cell: jnp.ndarray  # [] float32 1 / cell_size
+    # drivable-area raster at RASTER_CELL resolution (host-precomputed) —
+    # the TPU analogue of the reference's cv2 drivable mask
+    # (traj_evaluator.py:273-331): one gather per query point
+    drivable_grid: jnp.ndarray  # [RY, RX] bool
+    drivable_inv_cell: jnp.ndarray  # [] float32
 
     @property
     def num_lanes(self) -> int:
@@ -77,13 +95,68 @@ class TensorMap:
 
     def lane_point_dist2(self, point: jnp.ndarray) -> jnp.ndarray:
         """Squared distance from `point` (..., 2) to each lane's nearest
-        centerline vertex -> (..., L). Invalid lanes get +inf."""
-        diff = self.centerline - point[..., None, None, :]  # (..., L, P, 2)
-        d2 = jnp.sum(diff * diff, axis=-1).min(axis=-1)  # (..., L)
+        centerline vertex -> (..., L). Invalid lanes get +inf.
+
+        Uses the MXU expansion |p - v|^2 = |p|^2 + |v|^2 - 2 p.v so the
+        (..., L, P, 2) difference tensor never materializes in HBM."""
+        L, P, _ = self.centerline.shape
+        verts = self.centerline.reshape(L * P, 2)
+        cross = point @ verts.T  # (..., L*P) on the MXU
+        d2 = (
+            jnp.sum(point * point, axis=-1, keepdims=True)
+            + jnp.sum(verts * verts, axis=-1)
+            - 2.0 * cross
+        )
+        d2 = jnp.maximum(d2.reshape(point.shape[:-1] + (L, P)).min(-1), 0.0)
         return jnp.where(self.valid, d2, jnp.inf)
 
-    def nearest_lane(self, point: jnp.ndarray) -> jnp.ndarray:
-        """Index of the nearest valid lane to `point` (..., 2) -> (...,) int32."""
+    # ------------------------------------------------------------------
+    # Spatial-hash queries: O(GRID_K) per point instead of O(L)
+    # ------------------------------------------------------------------
+    def grid_candidates(self, point: jnp.ndarray) -> jnp.ndarray:
+        """(..., 2) -> (..., GRID_K) int32: the nearest lanes to the point's
+        grid cell (host-precomputed; -1 padded for sparse regions)."""
+        gy, gx = self.grid_lanes.shape[:2]
+        cell = (point - self.grid_origin) * self.grid_inv_cell
+        cx = jnp.clip(cell[..., 0].astype(jnp.int32), 0, gx - 1)
+        cy = jnp.clip(cell[..., 1].astype(jnp.int32), 0, gy - 1)
+        return self.grid_lanes[cy, cx]
+
+    def _candidate_dist2(self, cand: jnp.ndarray, point: jnp.ndarray):
+        """Exact min-vertex distance to each candidate lane (..., K), plus
+        the lane heading at that nearest vertex."""
+        idx = jnp.maximum(cand, 0)
+        pts = self.centerline[idx]  # (..., K, P, 2)
+        diff = pts - point[..., None, None, :]
+        d2v = jnp.sum(diff * diff, axis=-1)  # (..., K, P)
+        vi = jnp.argmin(d2v, axis=-1)  # (..., K)
+        d2 = jnp.take_along_axis(d2v, vi[..., None], axis=-1)[..., 0]
+        hdg = jnp.take_along_axis(self.headings[idx], vi[..., None], axis=-1)[..., 0]
+        return jnp.where(cand >= 0, d2, jnp.inf), hdg
+
+    # weight (m^2) of full heading misalignment in the lane-binding score: a
+    # crossing connector directly underfoot loses to the aligned lane ~2 m
+    # away — matching CARLA's direction-aware waypoint binding
+    HEADING_TIEBREAK_W = 4.0
+
+    def nearest_lane(
+        self, point: jnp.ndarray, heading: jnp.ndarray | None = None
+    ) -> jnp.ndarray:
+        """Index of the nearest valid lane to `point` (..., 2) -> (...,) int32.
+
+        Grid-accelerated: exact re-rank over the cell's GRID_K candidates.
+        With `heading` (...,), overlapping lanes (junction boxes) resolve to
+        the direction-aligned one instead of an arbitrary tie-break."""
+        cand = self.grid_candidates(point)
+        d2, lane_hdg = self._candidate_dist2(cand, point)
+        if heading is not None:
+            mis = 1.0 - jnp.cos(lane_hdg - heading[..., None])
+            d2 = d2 + self.HEADING_TIEBREAK_W * mis
+        best = jnp.argmin(d2, axis=-1)
+        return jnp.take_along_axis(cand, best[..., None], axis=-1)[..., 0]
+
+    def nearest_lane_full(self, point: jnp.ndarray) -> jnp.ndarray:
+        """Exact O(L) nearest lane (reset-time / reference path)."""
         return jnp.argmin(self.lane_point_dist2(point), axis=-1).astype(jnp.int32)
 
     def nearest_lanes(self, point: jnp.ndarray, k: int):
@@ -126,23 +199,33 @@ class TensorMap:
     def on_road(
         self,
         point: jnp.ndarray,
-        k: int = 4,
         margin: float = 0.3,
     ) -> jnp.ndarray:
         """Drivable-area membership test for (..., 2) points.
 
         Replaces the reference's cv2-rasterised drivable mask
         (traj_evaluator.py:273-331): a point is on-road iff its lateral
-        offset to one of the k nearest lane centerlines is within that
-        lane's half width (+margin).
+        offset to one of the cell's GRID_K nearest lane centerlines is
+        within that lane's half width (+margin). O(GRID_K) per point.
         """
-        idx, _ = self.nearest_lanes(point, k)  # (..., k)
-        line = self.centerline[idx]  # (..., k, P, 2)
+        cand = self.grid_candidates(point)  # (..., K)
+        idx = jnp.maximum(cand, 0)
+        line = self.centerline[idx]  # (..., K, P, 2)
         _, lat, _ = project_point_to_polyline(line, point[..., None, :])
         half_w = self.width[idx] * 0.5 + margin
         lane_ok = jnp.abs(lat) <= half_w
-        lane_ok &= self.valid[idx]
+        lane_ok &= (cand >= 0) & self.valid[idx]
         return lane_ok.any(axis=-1)
+
+    def on_road_raster(self, point: jnp.ndarray) -> jnp.ndarray:
+        """Raster drivable-area test: one gather per point. Use for bulk
+        queries (candidate rollouts: ~400k points/tick) where the exact
+        polyline projection of `on_road` would gather GBs of lane geometry."""
+        ry, rx = self.drivable_grid.shape
+        cell = (point - self.grid_origin) * self.drivable_inv_cell
+        cx = jnp.clip(cell[..., 0].astype(jnp.int32), 0, rx - 1)
+        cy = jnp.clip(cell[..., 1].astype(jnp.int32), 0, ry - 1)
+        return self.drivable_grid[cy, cx]
 
     def on_route_mask(self, route_road_ids: jnp.ndarray, route_lane_ids: jnp.ndarray) -> jnp.ndarray:
         """[L] bool: lane lies on the route.
@@ -273,6 +356,13 @@ def build_tensor_map(
         crosswalk_edges[i] = _crosswalk_edges(onp.asarray(poly), Pc)
         crosswalk_valid[i] = True
 
+    grid_lanes, grid_origin, grid_inv_cell = _build_spatial_grid(
+        centerline, valid
+    )
+    drivable_grid, drivable_inv_cell = _build_drivable_raster(
+        centerline, width, valid, grid_origin
+    )
+
     return TensorMap(
         centerline=jnp.asarray(centerline),
         left_edge=jnp.asarray(left_edge),
@@ -292,6 +382,130 @@ def build_tensor_map(
         light_group=jnp.asarray(light_group),
         crosswalk_edges=jnp.asarray(crosswalk_edges),
         crosswalk_valid=jnp.asarray(crosswalk_valid),
+        grid_lanes=jnp.asarray(grid_lanes),
+        grid_origin=jnp.asarray(grid_origin),
+        grid_inv_cell=jnp.asarray(grid_inv_cell),
+        drivable_grid=jnp.asarray(drivable_grid),
+        drivable_inv_cell=jnp.asarray(drivable_inv_cell),
+    )
+
+
+RASTER_CELL = 1.0  # m — matches the reference's raster granularity
+
+
+def _build_drivable_raster(
+    centerline: np.ndarray,  # [L, P, 2]
+    width: np.ndarray,  # [L]
+    valid: np.ndarray,  # [L]
+    origin: np.ndarray,  # [2] (shared with the lane grid)
+    cell: float = RASTER_CELL,
+    margin: float = 0.3,
+    k: int = 8,
+):
+    """[RY, RX] bool: cell center within half-width(+margin) of a lane
+    centerline. Host-side, exact point-to-segment distances over the k
+    nearest candidate lanes per cell."""
+    import numpy as onp
+    from scipy.spatial import cKDTree
+
+    lane_ids_valid = onp.flatnonzero(valid)
+    if len(lane_ids_valid) == 0:
+        return onp.zeros((1, 1), bool), onp.float32(1.0 / cell)
+    verts = centerline[lane_ids_valid].reshape(-1, 2)
+    vert_lane = onp.repeat(lane_ids_valid, centerline.shape[1])
+    hi = verts.max(0) + 12.0
+    rx = int(onp.ceil((hi[0] - origin[0]) / cell)) + 1
+    ry = int(onp.ceil((hi[1] - origin[1]) / cell)) + 1
+    xs = origin[0] + (onp.arange(rx) + 0.5) * cell
+    ys = origin[1] + (onp.arange(ry) + 0.5) * cell
+    centers = onp.stack(
+        [onp.repeat(xs[None], ry, 0), onp.repeat(ys[:, None], rx, 1)], axis=-1
+    ).reshape(-1, 2)
+
+    tree = cKDTree(verts)
+    q = min(8 * k, len(verts))
+    _, vidx = tree.query(centers, k=q, workers=-1)
+    vidx = onp.atleast_2d(vidx)
+
+    out = onp.zeros(centers.shape[0], bool)
+    chunk = 65536
+    P = centerline.shape[1]
+    for lo in range(0, centers.shape[0], chunk):
+        hi_ = min(lo + chunk, centers.shape[0])
+        pts = centers[lo:hi_]  # [n, 2]
+        lanes = vert_lane[vidx[lo:hi_]]  # [n, q] (dupes fine)
+        lanes = lanes[:, :: max(q // k, 1)][:, :k]  # subsample to k candidates
+        cl = centerline[lanes]  # [n, k, P, 2]
+        a, b = cl[:, :, :-1], cl[:, :, 1:]  # segments
+        ab = b - a
+        ap = pts[:, None, None] - a
+        t = onp.clip(
+            (ap * ab).sum(-1) / onp.maximum((ab * ab).sum(-1), 1e-9), 0.0, 1.0
+        )
+        proj = a + t[..., None] * ab
+        d = onp.linalg.norm(pts[:, None, None] - proj, axis=-1).min(-1)  # [n, k]
+        half_w = width[lanes] * 0.5 + margin
+        out[lo:hi_] = (d <= half_w).any(-1)
+    return out.reshape(ry, rx), onp.float32(1.0 / cell)
+
+
+def _build_spatial_grid(
+    centerline: np.ndarray,  # [L, P, 2]
+    valid: np.ndarray,  # [L]
+    cell: float = GRID_CELL,
+    k: int = GRID_K,
+    margin: float = 12.0,
+):
+    """[GY, GX, k] int32 table of the k nearest distinct lanes per cell center
+    (host, cKDTree over all valid centerline vertices)."""
+    import numpy as onp
+    from scipy.spatial import cKDTree
+
+    lane_ids_valid = onp.flatnonzero(valid)
+    if len(lane_ids_valid) == 0:
+        return (
+            onp.full((1, 1, k), -1, onp.int32),
+            onp.zeros(2, onp.float32),
+            onp.float32(1.0 / cell),
+        )
+    verts = centerline[lane_ids_valid].reshape(-1, 2)
+    vert_lane = onp.repeat(lane_ids_valid, centerline.shape[1])
+    lo = verts.min(0) - margin
+    hi = verts.max(0) + margin
+    gx = int(onp.ceil((hi[0] - lo[0]) / cell)) + 1
+    gy = int(onp.ceil((hi[1] - lo[1]) / cell)) + 1
+    xs = lo[0] + (onp.arange(gx) + 0.5) * cell
+    ys = lo[1] + (onp.arange(gy) + 0.5) * cell
+    centers = onp.stack(
+        [onp.repeat(xs[None], gy, 0), onp.repeat(ys[:, None], gx, 1)], axis=-1
+    ).reshape(-1, 2)
+
+    tree = cKDTree(verts)
+    # query enough vertices to find k distinct lanes (vertices cluster by lane)
+    q = min(max(8 * k, 32), len(verts))
+    _, idx = tree.query(centers, k=q, workers=-1)
+    idx = onp.atleast_2d(idx)
+    lanes = vert_lane[idx]  # [Nc, q]
+
+    n_cells = centers.shape[0]
+    chosen = onp.full((n_cells, k), -1, onp.int64)
+    count = onp.zeros(n_cells, onp.int64)
+    rows = onp.arange(n_cells)
+    for j in range(lanes.shape[1]):
+        lane_j = lanes[:, j]
+        is_new = (chosen != lane_j[:, None]).all(1) & (count < k)
+        chosen[rows[is_new], count[is_new]] = lane_j[is_new]
+        count[is_new] += 1
+        if (count >= k).all():
+            break
+    # pad unfilled slots with the cell's nearest lane (never -1 when any lane
+    # exists) so gathers stay in-bounds and the candidate is at worst redundant
+    unfilled = chosen < 0
+    chosen = onp.where(unfilled, chosen[:, :1], chosen)
+    return (
+        chosen.reshape(gy, gx, k).astype(onp.int32),
+        lo.astype(onp.float32),
+        onp.float32(1.0 / cell),
     )
 
 

@@ -19,9 +19,9 @@ import jax
 import jax.numpy as jnp
 
 from ...geometry.se2 import rotate, wrap_angle
-from ...map.reference_lines import extract_reference_lines
+from ...map.reference_lines import reference_lines_from_chains
 from ...map.tensor_map import LANE_POINTS, TensorMap
-from ...sim.state import HISTORY_STEPS, SimState
+from ...sim.state import HISTORY_STEPS, ScenarioSpec, SimState
 
 # polygon type codes (pluto_feature_builder.py:59-63 ordering)
 PT_LANE, PT_LANE_CONNECTOR, PT_CROSSWALK = 0, 1, 2
@@ -35,7 +35,8 @@ def build_features_for_agent(
     state: SimState,
     scenario: jnp.ndarray,  # scalar int
     agent: jnp.ndarray,  # scalar int: the center agent slot
-    route_mask: jnp.ndarray,  # [L] on-route lanes for this agent's route
+    route_mask: jnp.ndarray,  # [L] ego-route lanes of this scenario
+    chains_s: jnp.ndarray,  # [L, 2, MAX_CHAIN] this scenario's lane chains
     max_agents: int = 32,
     max_polygons: int = 64,
     num_refs: int = 4,
@@ -123,16 +124,21 @@ def build_features_for_agent(
     polygon_type = jnp.where(
         tmap.is_junction[li], PT_LANE_CONNECTOR, PT_LANE
     ).astype(jnp.int32)
-    polygon_on_route = route_mask[li] & lane_in
+    # on-route for the CENTER agent: its own chain ahead, plus the ego route
+    # (the reference flags lanes on the CBV's route, nuplan_map_utils.py:589)
+    cur_lane = state.lane[scenario, agent]
+    own_chain = chains_s[jnp.maximum(cur_lane, 0), 0]  # [MAX_CHAIN]
+    on_own_route = (li[:, None] == own_chain[None, :]).any(-1)
+    polygon_on_route = (route_mask[li] | on_own_route) & lane_in
     polygon_tl = jnp.full((max_polygons,), TL_GREEN, jnp.int32)
     polygon_speed = tmap.speed_limit[li]
     polygon_has_speed = lane_in
     map_valid = lane_in[:, None] & jnp.ones(P, bool)
 
     # ---------------------------------------------------------------- refs
-    refs = extract_reference_lines(
-        tmap, c_pos, route_mask, num_refs=num_refs,
-        num_points=int(radius), max_length=radius,
+    refs = reference_lines_from_chains(
+        tmap, chains_s, cur_lane, c_pos,
+        num_refs=num_refs, num_points=int(radius), max_length=radius,
     )
     r_pos = to_local_pts(refs["position"])
     r_ori = wrap_angle(refs["orientation"] - c_heading)
@@ -187,7 +193,7 @@ def build_cbv_features(
     tmap: TensorMap,
     state: SimState,
     cbv_slots: jnp.ndarray,  # [S, C] agent slot per CBV position (-1 pad)
-    route_masks: jnp.ndarray,  # [S, C, L] per-CBV on-route lane masks
+    spec: ScenarioSpec,  # carries route_lane_mask + lane_chains
     max_agents: int = 32,
     max_polygons: int = 64,
     num_refs: int = 4,
@@ -199,13 +205,14 @@ def build_cbv_features(
     """
     S, C = cbv_slots.shape
 
-    def one(scenario, slot, rmask):
+    def one(scenario, slot):
         return build_features_for_agent(
-            tmap, state, scenario, jnp.maximum(slot, 0), rmask,
+            tmap, state, scenario, jnp.maximum(slot, 0),
+            spec.route_lane_mask[scenario], spec.lane_chains[scenario],
             max_agents=max_agents, max_polygons=max_polygons,
             num_refs=num_refs, radius=radius,
         )
 
     scen = jnp.broadcast_to(jnp.arange(S)[:, None], (S, C))
-    feats = jax.vmap(jax.vmap(one))(scen, cbv_slots, route_masks)
+    feats = jax.vmap(jax.vmap(one))(scen, cbv_slots)
     return feats, cbv_slots >= 0

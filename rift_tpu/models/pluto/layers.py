@@ -6,6 +6,10 @@ banded full attention (equivalent receptive field; at T<=21 tokens a dense
 band mask is MXU-friendly where gather-based neighborhood attention is not),
 and BatchNorm in the PointNet encoders becomes LayerNorm (mask-friendly,
 no running stats to sync across shards).
+
+All blocks take a `dtype` compute dtype (params stay float32): bf16 halves
+activation HBM traffic and doubles MXU throughput on TPU; softmax runs in
+float32 for stability.
 """
 
 from __future__ import annotations
@@ -22,13 +26,14 @@ class MLPLayer(nn.Module):
 
     hidden: int
     out: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden)(x)
-        x = nn.LayerNorm()(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
         x = nn.relu(x)
-        return nn.Dense(self.out)(x)
+        return nn.Dense(self.out, dtype=self.dtype)(x)
 
 
 class FourierEmbedding(nn.Module):
@@ -37,6 +42,7 @@ class FourierEmbedding(nn.Module):
 
     dim: int
     num_freq_bands: int = 64
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
@@ -51,14 +57,16 @@ class FourierEmbedding(nn.Module):
         )  # (..., C, 2F+1)
         out = 0.0
         for i in range(C):
-            h = nn.Dense(self.dim, name=f"mlp{i}_fc1")(feats[..., i, :])
-            h = nn.LayerNorm(name=f"mlp{i}_ln")(h)
+            h = nn.Dense(self.dim, name=f"mlp{i}_fc1", dtype=self.dtype)(
+                feats[..., i, :]
+            )
+            h = nn.LayerNorm(name=f"mlp{i}_ln", dtype=self.dtype)(h)
             h = nn.relu(h)
-            h = nn.Dense(self.dim, name=f"mlp{i}_fc2")(h)
+            h = nn.Dense(self.dim, name=f"mlp{i}_fc2", dtype=self.dtype)(h)
             out = out + h
-        out = nn.LayerNorm(name="out_ln")(out)
+        out = nn.LayerNorm(name="out_ln", dtype=self.dtype)(out)
         out = nn.relu(out)
-        return nn.Dense(self.dim, name="out_fc")(out)
+        return nn.Dense(self.dim, name="out_fc", dtype=self.dtype)(out)
 
 
 class PointsEncoder(nn.Module):
@@ -66,6 +74,7 @@ class PointsEncoder(nn.Module):
     final max-pool (reference layers/embedding.py:PointsEncoder)."""
 
     out_dim: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, mask):
@@ -75,25 +84,25 @@ class PointsEncoder(nn.Module):
         # (observed on v5e); 3D also matches the reference's reshape.
         batch = x.shape[:-2]
         if len(batch) > 1:
-            out = PointsEncoder(self.out_dim, name="flat")(
+            out = PointsEncoder(self.out_dim, name="flat", dtype=self.dtype)(
                 x.reshape((-1,) + x.shape[-2:]),
                 mask.reshape((-1,) + mask.shape[-1:]),
             )
             return out.reshape(batch + (self.out_dim,))
-        h = nn.Dense(128)(x)
-        h = nn.LayerNorm()(h)
+        h = nn.Dense(128, dtype=self.dtype)(x)
+        h = nn.LayerNorm(dtype=self.dtype)(h)
         h = nn.relu(h)
-        h = nn.Dense(256)(h)
+        h = nn.Dense(256, dtype=self.dtype)(h)
         h = jnp.where(mask[..., None], h, -1e9)
         # barrier: fusing this masked max with its MLP producer trips an
         # internal TransformWindow assertion in the v5e XLA fusion pass
         h = jax.lax.optimization_barrier(h)
         pooled = h.max(axis=-2, keepdims=True)
         h = jnp.concatenate([h, jnp.broadcast_to(pooled, h.shape)], axis=-1)
-        h = nn.Dense(256)(h)
-        h = nn.LayerNorm()(h)
+        h = nn.Dense(256, dtype=self.dtype)(h)
+        h = nn.LayerNorm(dtype=self.dtype)(h)
         h = nn.relu(h)
-        h = nn.Dense(self.out_dim)(h)
+        h = nn.Dense(self.out_dim, dtype=self.dtype)(h)
         h = jnp.where(mask[..., None], h, -1e9)
         h = jax.lax.optimization_barrier(h)
         out = h.max(axis=-2)
@@ -130,6 +139,7 @@ class Attention(nn.Module):
     dim: int
     num_heads: int
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -145,20 +155,23 @@ class Attention(nn.Module):
         v = k if v is None else v
         H = self.num_heads
         Dh = self.dim // H
-        qh = nn.DenseGeneral((H, Dh), name="q")(q)
-        kh = nn.DenseGeneral((H, Dh), name="k")(k)
-        vh = nn.DenseGeneral((H, Dh), name="v")(v)
+        qh = nn.DenseGeneral((H, Dh), name="q", dtype=self.dtype)(q)
+        kh = nn.DenseGeneral((H, Dh), name="k", dtype=self.dtype)(k)
+        vh = nn.DenseGeneral((H, Dh), name="v", dtype=self.dtype)(v)
         logits = jnp.einsum("...qhd,...khd->...hqk", qh, kh) / jnp.sqrt(Dh)
+        logits = logits.astype(jnp.float32)  # stable softmax
         if attn_bias is not None:
             logits = logits + attn_bias
         if key_padding_mask is not None:
             pad = key_padding_mask[..., None, None, :]  # (..., 1, 1, Nk)
             logits = jnp.where(pad, -1e9, logits)
         w = nn.softmax(logits, axis=-1)
+        if self.dtype is not None:
+            w = w.astype(self.dtype)
         if self.dropout > 0.0 and not deterministic:
             w = nn.Dropout(self.dropout)(w, deterministic=False)
         out = jnp.einsum("...hqk,...khd->...qhd", w, vh)
-        return nn.DenseGeneral(self.dim, axis=(-2, -1), name="out")(out)
+        return nn.DenseGeneral(self.dim, axis=(-2, -1), name="out", dtype=self.dtype)(out)
 
 
 class TransformerEncoderLayer(nn.Module):
@@ -169,18 +182,19 @@ class TransformerEncoderLayer(nn.Module):
     mlp_ratio: float = 4.0
     dropout: float = 0.0
     drop_path_rate: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, deterministic: bool = True):
-        h = nn.LayerNorm()(x)
-        h = Attention(self.dim, self.num_heads, self.dropout)(
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = Attention(self.dim, self.num_heads, self.dropout, dtype=self.dtype)(
             h, key_padding_mask=key_padding_mask, deterministic=deterministic
         )
         x = x + DropPath(self.drop_path_rate)(h, deterministic)
-        h = nn.LayerNorm()(x)
-        h = nn.Dense(int(self.dim * self.mlp_ratio))(h)
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype)(h)
         h = nn.gelu(h)
-        h = nn.Dense(self.dim)(h)
+        h = nn.Dense(self.dim, dtype=self.dtype)(h)
         x = x + DropPath(self.drop_path_rate)(h, deterministic)
         return x
 
@@ -201,20 +215,21 @@ class LocalBlock(nn.Module):
     window: int
     mlp_ratio: float = 3.0
     drop_path_rate: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         n = x.shape[-2]
         bias = band_mask(n, self.window)
-        h = nn.LayerNorm()(x)
-        h = Attention(self.dim, self.num_heads)(
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = Attention(self.dim, self.num_heads, dtype=self.dtype)(
             h, attn_bias=bias, deterministic=deterministic
         )
         x = x + DropPath(self.drop_path_rate)(h, deterministic)
-        h = nn.LayerNorm()(x)
-        h = nn.Dense(int(self.dim * self.mlp_ratio))(h)
+        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype)(h)
         h = nn.gelu(h)
-        h = nn.Dense(self.dim)(h)
+        h = nn.Dense(self.dim, dtype=self.dtype)(h)
         x = x + DropPath(self.drop_path_rate)(h, deterministic)
         return x
 
@@ -232,11 +247,12 @@ class HistoryEncoder(nn.Module):
     num_heads: tuple = (2, 4, 8)
     windows: tuple = (3, 3, 5)
     drop_path_rate: float = 0.2
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         # x: (B, T, C_in)
-        x = nn.Conv(self.embed_dim, kernel_size=(3,), padding="SAME")(x)
+        x = nn.Conv(self.embed_dim, kernel_size=(3,), padding="SAME", dtype=self.dtype)(x)
         outs = []
         dim = self.embed_dim
         total = sum(self.depths)
@@ -247,18 +263,19 @@ class HistoryEncoder(nn.Module):
             for d in range(depth):
                 rate = self.drop_path_rate * (done / max(total - 1, 1))
                 done += 1
-                x = LocalBlock(dim, heads, win, drop_path_rate=rate)(
-                    x, deterministic
-                )
-            outs.append(nn.LayerNorm()(x))
+                x = LocalBlock(dim, heads, win, drop_path_rate=rate,
+                               dtype=self.dtype)(x, deterministic)
+            outs.append(nn.LayerNorm(dtype=self.dtype)(x))
             if level < len(self.depths) - 1:
-                x = nn.Conv(dim * 2, kernel_size=(3,), strides=(2,), padding="SAME")(x)
-                x = nn.LayerNorm()(x)
+                x = nn.Conv(dim * 2, kernel_size=(3,), strides=(2,),
+                            padding="SAME", dtype=self.dtype)(x)
+                x = nn.LayerNorm(dtype=self.dtype)(x)
                 dim *= 2
         # FPN: project all levels to the last dim, upsample-add, final conv
         n_out = dim
         laterals = [
-            nn.Conv(n_out, kernel_size=(3,), padding="SAME")(o) for o in outs
+            nn.Conv(n_out, kernel_size=(3,), padding="SAME", dtype=self.dtype)(o)
+            for o in outs
         ]
         for i in range(len(laterals) - 1, 0, -1):
             up = jnp.repeat(
@@ -269,7 +286,9 @@ class HistoryEncoder(nn.Module):
                 pad = laterals[i - 1].shape[-2] - up.shape[-2]
                 up = jnp.concatenate([up, up[..., -1:, :].repeat(pad, axis=-2)], axis=-2)
             laterals[i - 1] = laterals[i - 1] + up[..., : laterals[i - 1].shape[-2], :]
-        out = nn.Conv(n_out, kernel_size=(3,), padding="SAME")(laterals[0])
+        out = nn.Conv(n_out, kernel_size=(3,), padding="SAME", dtype=self.dtype)(
+            laterals[0]
+        )
         return out[..., -1, :]  # last token
 
 
@@ -280,13 +299,18 @@ class StateAttentionEncoder(nn.Module):
     state_channel: int
     dim: int
     state_dropout: float = 0.75
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         # x: (B, state_channel)
         tokens = []
         for i in range(self.state_channel):
-            tokens.append(nn.Dense(self.dim, name=f"proj{i}")(x[..., i : i + 1]))
+            tokens.append(
+                nn.Dense(self.dim, name=f"proj{i}", dtype=self.dtype)(
+                    x[..., i : i + 1]
+                )
+            )
         h = jnp.stack(tokens, axis=-2)  # (B, C, dim)
         pos = self.param(
             "pos_embed", nn.initializers.normal(0.02), (1, self.state_channel, self.dim)
@@ -309,7 +333,7 @@ class StateAttentionEncoder(nn.Module):
                 [jnp.zeros(h.shape[:-2] + (3,), bool), drop], axis=-1
             )
 
-        out = Attention(self.dim, num_heads=4)(
+        out = Attention(self.dim, num_heads=4, dtype=self.dtype)(
             q, h, h, key_padding_mask=key_padding, deterministic=deterministic
         )
         return out[..., 0, :]

@@ -24,7 +24,7 @@ Feature dict layout (produced by rift_tpu.models.pluto.features):
 from __future__ import annotations
 
 import math
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -53,6 +53,7 @@ class AgentEncoder(nn.Module):
     hist_steps: int = 21
     drop_path: float = 0.2
     state_dropout: float = 0.75
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, data, deterministic: bool = True):
@@ -85,18 +86,19 @@ class AgentEncoder(nn.Module):
             axis=-1,
         )  # [B, A, T-1, 9]
         B, A, Tm1, C = feat.shape
-        x = HistoryEncoder(embed_dim=self.dim // 4, drop_path_rate=self.drop_path)(
-            feat.reshape(B * A, Tm1, C), deterministic
-        ).reshape(B, A, self.dim)
+        x = HistoryEncoder(
+            embed_dim=self.dim // 4, drop_path_rate=self.drop_path,
+            dtype=self.dtype,
+        )(feat.reshape(B * A, Tm1, C), deterministic).reshape(B, A, self.dim)
         x = jnp.where(valid_mask.any(-1)[..., None], x, 0.0)
 
         # ego token from current state channels (use_ego_history=False path)
         ego = StateAttentionEncoder(
-            self.state_channel, self.dim, self.state_dropout
+            self.state_channel, self.dim, self.state_dropout, dtype=self.dtype
         )(data["current_state"][:, : self.state_channel], deterministic)
         x = x.at[:, 0].set(ego)
 
-        type_emb = nn.Embed(4, self.dim)(category)
+        type_emb = nn.Embed(4, self.dim, dtype=self.dtype)(category)
         return x + type_emb
 
 
@@ -105,6 +107,7 @@ class MapEncoder(nn.Module):
     (reference modules/map_encoder.py, use_lane_boundary=True)."""
 
     dim: int = 128
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, data):
@@ -127,16 +130,18 @@ class MapEncoder(nn.Module):
             ],
             axis=-1,
         )  # [B, M, P, 10]
-        x = PointsEncoder(self.dim)(feat, valid)
+        x = PointsEncoder(self.dim, dtype=self.dtype)(feat, valid)
 
-        x = x + nn.Embed(3, self.dim, name="type_emb")(m["polygon_type"].astype(jnp.int32))
-        x = x + nn.Embed(2, self.dim, name="on_route_emb")(
+        x = x + nn.Embed(3, self.dim, name="type_emb", dtype=self.dtype)(
+            m["polygon_type"].astype(jnp.int32)
+        )
+        x = x + nn.Embed(2, self.dim, name="on_route_emb", dtype=self.dtype)(
             m["polygon_on_route"].astype(jnp.int32)
         )
-        x = x + nn.Embed(4, self.dim, name="tl_emb")(
+        x = x + nn.Embed(4, self.dim, name="tl_emb", dtype=self.dtype)(
             m["polygon_tl_status"].astype(jnp.int32)
         )
-        speed_emb = FourierEmbedding(self.dim, 64, name="speed_emb")(
+        speed_emb = FourierEmbedding(self.dim, 64, name="speed_emb", dtype=self.dtype)(
             m["polygon_speed_limit"][..., None]
         )
         unknown = self.param(
@@ -151,12 +156,15 @@ class StaticObjectsEncoder(nn.Module):
     """(reference modules/static_objects_encoder.py)"""
 
     dim: int = 128
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, data):
         so = data["static_objects"]
         pos, heading = so["position"], so["heading"]
-        emb = FourierEmbedding(self.dim, 64)(so["shape"]) + nn.Embed(4, self.dim)(
+        emb = FourierEmbedding(self.dim, 64, dtype=self.dtype)(
+            so["shape"]
+        ) + nn.Embed(4, self.dim, dtype=self.dtype)(
             so["category"].astype(jnp.int32)
         )
         valid = so["valid_mask"]
@@ -168,13 +176,14 @@ class StaticObjectsEncoder(nn.Module):
 class AgentPredictor(nn.Module):
     dim: int = 128
     future_steps: int = 80
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         B, N, _ = x.shape
-        loc = MLPLayer(2 * self.dim, self.future_steps * 2)(x)
-        yaw = MLPLayer(2 * self.dim, self.future_steps * 2)(x)
-        vel = MLPLayer(2 * self.dim, self.future_steps * 2)(x)
+        loc = MLPLayer(2 * self.dim, self.future_steps * 2, dtype=self.dtype)(x)
+        yaw = MLPLayer(2 * self.dim, self.future_steps * 2, dtype=self.dtype)(x)
+        vel = MLPLayer(2 * self.dim, self.future_steps * 2, dtype=self.dtype)(x)
         out = jnp.concatenate(
             [
                 loc.reshape(B, N, self.future_steps, 2),
@@ -194,6 +203,7 @@ class DecoderLayer(nn.Module):
     num_heads: int
     mlp_ratio: int
     dropout: float
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -201,20 +211,22 @@ class DecoderLayer(nn.Module):
     ):
         B, R, M, D = tgt.shape
         # r2r: attend across reference lines (batched over modes)
-        h = nn.LayerNorm()(tgt)
+        h = nn.LayerNorm(dtype=self.dtype)(tgt)
         h = h.transpose(0, 2, 1, 3).reshape(B * M, R, D)
         pad = jnp.repeat(r_key_padding, M, axis=0)  # (B*M, R)
-        h = Attention(self.dim, self.num_heads, self.dropout, name="r2r")(
+        h = Attention(self.dim, self.num_heads, self.dropout, name="r2r",
+                      dtype=self.dtype)(
             h, key_padding_mask=pad, deterministic=deterministic
         )
         h = h.reshape(B, M, R, D).transpose(0, 2, 1, 3)
         tgt = tgt + h
 
         # m2m: attend across modes (batched over reference lines)
-        h = nn.LayerNorm()(tgt)
+        h = nn.LayerNorm(dtype=self.dtype)(tgt)
         h = h.reshape(B * R, M, D)
         hq = h + m_pos
-        h = Attention(self.dim, self.num_heads, self.dropout, name="m2m")(
+        h = Attention(self.dim, self.num_heads, self.dropout, name="m2m",
+                      dtype=self.dtype)(
             hq, hq, h, deterministic=deterministic
         )
         h = h.reshape(B, R, M, D)
@@ -222,18 +234,19 @@ class DecoderLayer(nn.Module):
         tgt = tgt + h
 
         # cross-attention to the scene encoding
-        h = nn.LayerNorm()(tgt).reshape(B, R * M, D)
-        h = Attention(self.dim, self.num_heads, self.dropout, name="cross")(
+        h = nn.LayerNorm(dtype=self.dtype)(tgt).reshape(B, R * M, D)
+        h = Attention(self.dim, self.num_heads, self.dropout, name="cross",
+                      dtype=self.dtype)(
             h, memory, memory,
             key_padding_mask=memory_key_padding,
             deterministic=deterministic,
         ).reshape(B, R, M, D)
         tgt = tgt + h
 
-        h = nn.LayerNorm()(tgt)
-        h = nn.Dense(self.dim * self.mlp_ratio)(h)
+        h = nn.LayerNorm(dtype=self.dtype)(tgt)
+        h = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype)(h)
         h = nn.relu(h)
-        h = nn.Dense(self.dim)(h)
+        h = nn.Dense(self.dim, dtype=self.dtype)(h)
         return tgt + h
 
 
@@ -248,6 +261,7 @@ class PlanningDecoder(nn.Module):
     dropout: float = 0.1
     future_steps: int = 80
     cat_x: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, data, enc_emb, enc_key_padding, deterministic=True):
@@ -268,11 +282,15 @@ class PlanningDecoder(nn.Module):
             ],
             axis=-1,
         )  # (B, R, N, 6)
-        r_emb = PointsEncoder(self.dim, name="r_encoder")(feat, r_valid)
+        r_emb = PointsEncoder(self.dim, name="r_encoder", dtype=self.dtype)(
+            feat, r_valid
+        )
         r_pos_feat = jnp.concatenate(
             [r_pos[:, :, 0], r_ori[:, :, 0, None]], axis=-1
         )
-        r_emb = r_emb + FourierEmbedding(self.dim, 64, name="r_pos_emb")(r_pos_feat)
+        r_emb = r_emb + FourierEmbedding(
+            self.dim, 64, name="r_pos_emb", dtype=self.dtype
+        )(r_pos_feat)
 
         B, R, _ = r_emb.shape
         M = self.num_modes
@@ -284,26 +302,30 @@ class PlanningDecoder(nn.Module):
              jnp.broadcast_to(m_emb, (B, R, M, self.dim))],
             axis=-1,
         )
-        q = nn.Dense(self.dim, name="q_proj")(q)
+        q = nn.Dense(self.dim, name="q_proj", dtype=self.dtype)(q)
 
         for i in range(self.depth):
             q = DecoderLayer(
                 self.dim, self.num_heads, self.mlp_ratio, self.dropout,
-                name=f"layer{i}",
+                name=f"layer{i}", dtype=self.dtype,
             )(q, enc_emb, r_key_padding, enc_key_padding, m_pos, deterministic)
 
         if self.cat_x:
             x0 = enc_emb[:, 0][:, None, None]
-            q = nn.Dense(self.dim, name="cat_x_proj")(
+            q = nn.Dense(self.dim, name="cat_x_proj", dtype=self.dtype)(
                 jnp.concatenate(
-                    [q, jnp.broadcast_to(x0, (B, R, M, self.dim))], axis=-1
+                    [q, jnp.broadcast_to(x0, (B, R, M, self.dim)).astype(q.dtype)],
+                    axis=-1,
                 )
             )
 
-        loc = MLPLayer(2 * self.dim, self.future_steps * 2, name="loc_head")(q)
-        yaw = MLPLayer(2 * self.dim, self.future_steps * 2, name="yaw_head")(q)
-        vel = MLPLayer(2 * self.dim, self.future_steps * 2, name="vel_head")(q)
-        pi = MLPLayer(self.dim, 1, name="pi_head")(q)[..., 0]  # (B, R, M)
+        loc = MLPLayer(2 * self.dim, self.future_steps * 2, name="loc_head",
+                       dtype=self.dtype)(q)
+        yaw = MLPLayer(2 * self.dim, self.future_steps * 2, name="yaw_head",
+                       dtype=self.dtype)(q)
+        vel = MLPLayer(2 * self.dim, self.future_steps * 2, name="vel_head",
+                       dtype=self.dtype)(q)
+        pi = MLPLayer(self.dim, 1, name="pi_head", dtype=self.dtype)(q)[..., 0]
 
         traj = jnp.concatenate(
             [
@@ -313,7 +335,7 @@ class PlanningDecoder(nn.Module):
             ],
             axis=-1,
         )
-        return traj, pi
+        return traj.astype(jnp.float32), pi.astype(jnp.float32)
 
 
 class PlutoModel(nn.Module):
@@ -332,6 +354,9 @@ class PlutoModel(nn.Module):
     state_dropout: float = 0.75
     use_hidden_proj: bool = True
     ref_free_traj: bool = True
+    # compute dtype: bf16 halves activation bandwidth / doubles MXU rate on
+    # TPU; params and outputs stay float32
+    dtype: Optional[jnp.dtype] = jnp.bfloat16
 
     @nn.compact
     def __call__(self, data: Dict[str, Any], deterministic: bool = True):
@@ -352,33 +377,36 @@ class PlutoModel(nn.Module):
 
         x_agent = AgentEncoder(
             self.dim, self.state_channel, self.history_steps,
-            self.drop_path, self.state_dropout,
+            self.drop_path, self.state_dropout, dtype=self.dtype,
         )(data, deterministic)
-        x_polygon = MapEncoder(self.dim)(data)
-        x_static, static_pos, static_key_padding = StaticObjectsEncoder(self.dim)(data)
+        x_polygon = MapEncoder(self.dim, dtype=self.dtype)(data)
+        x_static, static_pos, static_key_padding = StaticObjectsEncoder(
+            self.dim, dtype=self.dtype
+        )(data)
 
         x = jnp.concatenate([x_agent, x_polygon, x_static], axis=1)
         pos = jnp.concatenate([pos, static_pos], axis=1)
         key_padding_mask = jnp.concatenate(
             [agent_key_padding, polygon_key_padding, static_key_padding], axis=-1
         )
-        x = x + FourierEmbedding(self.dim, 64, name="pos_emb")(pos)
+        x = x + FourierEmbedding(self.dim, 64, name="pos_emb", dtype=self.dtype)(pos)
 
         for i in range(self.encoder_depth):
             rate = self.drop_path * i / max(self.encoder_depth - 1, 1)
             x = TransformerEncoderLayer(
-                self.dim, self.num_heads, drop_path_rate=rate, name=f"enc{i}"
+                self.dim, self.num_heads, drop_path_rate=rate, name=f"enc{i}",
+                dtype=self.dtype,
             )(x, key_padding_mask=key_padding_mask, deterministic=deterministic)
-        x = nn.LayerNorm(name="enc_norm")(x)
+        x = nn.LayerNorm(name="enc_norm", dtype=self.dtype)(x)
 
-        prediction = AgentPredictor(self.dim, self.future_steps, name="agent_predictor")(
-            x[:, 1:A]
-        )
+        prediction = AgentPredictor(
+            self.dim, self.future_steps, name="agent_predictor", dtype=self.dtype
+        )(x[:, 1:A]).astype(jnp.float32)
 
         trajectory, probability = PlanningDecoder(
             self.num_modes, self.decoder_depth, self.dim, self.num_heads,
             4, self.dropout, self.future_steps, cat_x=True,
-            name="planning_decoder",
+            name="planning_decoder", dtype=self.dtype,
         )(data, x, key_padding_mask, deterministic)
 
         out = {
@@ -388,14 +416,17 @@ class PlutoModel(nn.Module):
         }
 
         if self.use_hidden_proj:
-            h = nn.Dense(self.dim, name="hidden_proj_fc1")(x[:, 0])
+            h = nn.Dense(self.dim, name="hidden_proj_fc1", dtype=self.dtype)(x[:, 0])
             h = nn.relu(h)
-            out["hidden"] = nn.Dense(self.dim, name="hidden_proj_fc2")(h)
+            out["hidden"] = nn.Dense(
+                self.dim, name="hidden_proj_fc2", dtype=self.dtype
+            )(h).astype(jnp.float32)
 
         if self.ref_free_traj:
-            rf = MLPLayer(2 * self.dim, self.future_steps * 4, name="ref_free_decoder")(
-                x[:, 0]
-            ).reshape(B, self.future_steps, 4)
+            rf = MLPLayer(
+                2 * self.dim, self.future_steps * 4, name="ref_free_decoder",
+                dtype=self.dtype,
+            )(x[:, 0]).reshape(B, self.future_steps, 4).astype(jnp.float32)
             out["ref_free_trajectory"] = rf
             rf_angle = jnp.arctan2(rf[..., 3], rf[..., 2])
             out["output_ref_free_trajectory"] = jnp.concatenate(

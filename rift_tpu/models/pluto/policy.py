@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ...map.tensor_map import TensorMap
 from ...rl.evaluator import NUM_FRAMES, grpo_advantage
-from ...scenario.recognition import cbv_route_masks, cbv_slot_assignment
+from ...scenario.recognition import cbv_slot_assignment
 from ...sim.state import ScenarioSpec, SimState
 from .features import build_cbv_features
 
@@ -105,9 +105,8 @@ def pluto_cbv_act(
     S, A = state.alive.shape
     cbv_slots = cbv_slot_assignment(state.is_cbv, max_cbvs)  # [S, C]
     C = cbv_slots.shape[1]
-    route_masks = cbv_route_masks(tmap, spec, state, cbv_slots)  # [S, C, L]
 
-    feats, slot_valid = build_cbv_features(tmap, state, cbv_slots, route_masks)
+    feats, slot_valid = build_cbv_features(tmap, state, cbv_slots, spec)
     flat_feats = jax.tree.map(lambda x: x.reshape((S * C,) + x.shape[2:]), feats)
     out = model.apply(params, flat_feats)
 

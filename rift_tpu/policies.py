@@ -35,7 +35,6 @@ from .rl import (
 )
 from .rl.classic import ClassicPPO, cbv_normal_obs, rl_action_to_control
 from .scenario import cbv_slot_assignment
-from .scenario.recognition import cbv_route_masks
 
 
 # ---------------------------------------------------------------------------
@@ -85,8 +84,7 @@ class PlutoPolicy:
         if self.params is not None:
             return
         slots = cbv_slot_assignment(state.is_cbv, self.max_cbvs)
-        masks = cbv_route_masks(self.tmap, spec, state, slots)
-        feats, _ = build_cbv_features(self.tmap, state, slots, masks)
+        feats, _ = build_cbv_features(self.tmap, state, slots, spec)
         flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), feats)
         self.rng, k = jax.random.split(self.rng)
         from .utils.cache import init_params_on_cpu
@@ -324,6 +322,7 @@ class ClassicCBVPolicy:
 
     name = "ppo"
     type = "rl"
+    trainable = True
 
     def __init__(self, tmap, cfg=None):
         cfg = cfg or {}
@@ -357,11 +356,17 @@ class ClassicCBVPolicy:
         mask = jnp.zeros((S, A), bool)
         mask = jax.vmap(lambda m, sl, v: m.at[sl].set(v | m[sl]))(mask, slot, valid)
         mask = mask.at[:, 0].set(False)
-        return {"ctrl": ctrl, "mask": mask, "obs": obs, "logp": logp,
-                "action": action, "cbv_slots": slots}
+        value = self.ppo.value(self.ppo.params, flat_obs).reshape(slots.shape)
+        return {"ctrl": ctrl, "mask": mask, "obs": obs,
+                "logp": logp.reshape(slots.shape),
+                "action": action.reshape(slots.shape + (2,)),
+                "value": value, "cbv_slots": slots}
 
     def train_round(self, batch):
         return self.ppo.train(batch)
+
+    def save(self, mgr, episode):
+        mgr.save(self.ppo.params._asdict(), episode, name=f"cbv_{self.name}")
 
 
 class FREAPolicy(ClassicCBVPolicy):
@@ -471,21 +476,23 @@ class PlanTEgo:
 
 
 class EgoPPO:
-    """'ppo' — MLP PPO ego on the relative-state obs (rift/ego/rl/ppo.py)."""
+    """'ppo' — MLP PPO ego on the relative-state obs (rift/ego/rl/ppo.py).
+
+    `act` returns a dict with raw `ctrl` [S, 3] for env_step's ego_ctrl
+    input plus the (obs, action, logp, value) the GAE batch needs."""
 
     name = "ppo"
     type = "rl"
+    trainable = True
 
     def __init__(self, tmap, cfg=None):
         self.tmap = tmap
         self.ppo = ClassicPPO(seed=(cfg or {}).get("seed", 0))
         self.rng = jax.random.PRNGKey(0)
 
-    def act(self, spec, state):
-        # returns raw control for slot 0 through the ctrl interface
+    def act(self, spec, state, train=False):
         from .rl.classic import ego_normal_obs
 
-        S = state.alive.shape[0]
         cursor = jnp.minimum(
             state.ego_route_cursor.astype(jnp.int32) + 10,
             spec.ego_route_len - 1,
@@ -495,8 +502,22 @@ class EgoPPO:
         )[:, 0]
         obs = ego_normal_obs(state, next_wp)
         self.rng, k = jax.random.split(self.rng)
-        action, _ = self.ppo.act(self.ppo.params, obs, k)
-        return rl_action_to_control(action)  # [S, 3] raw control
+        action, logp = self.ppo.act(
+            self.ppo.params, obs, k, deterministic=not train
+        )
+        return {
+            "ctrl": rl_action_to_control(action),  # [S, 3]
+            "obs": obs,
+            "action": action,
+            "logp": logp,
+            "value": self.ppo.value(self.ppo.params, obs),
+        }
+
+    def train_round(self, batch):
+        return self.ppo.train(batch)
+
+    def save(self, mgr, episode):
+        mgr.save(self.ppo.params._asdict(), episode, name="ego_ppo")
 
 
 class E2EStub:

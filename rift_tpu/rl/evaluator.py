@@ -245,23 +245,23 @@ def ref_line_matrices(
 ):
     """Signed lateral offset and heading error of each candidate point
     against its own reference line. Returns (delta_dis, delta_angle) [R, M, T].
+
+    Distances use the MXU expansion |c - r|^2 = |c|^2 + |r|^2 - 2 c.r so the
+    [R, M, T, Nr, 2] difference tensor never materializes — batched over all
+    scenarios x CBVs that intermediate alone was >20 GB of HBM.
     """
-    diff = cand_pos[:, :, :, None] - ref_pos[:, None, None]  # [R, M, T, Nr, 2]
-    d2 = jnp.sum(diff * diff, axis=-1)
+    R, M, T, _ = cand_pos.shape
+    cross2 = jnp.einsum("rmtx,rnx->rmtn", cand_pos, ref_pos)  # [R, M, T, Nr]
+    d2 = (
+        jnp.sum(cand_pos * cand_pos, axis=-1)[..., None]
+        + jnp.sum(ref_pos * ref_pos, axis=-1)[:, None, None]
+        - 2.0 * cross2
+    )
     d2 = jnp.where(ref_valid[:, None, None], d2, jnp.inf)
     idx = jnp.argmin(d2, axis=-1)  # [R, M, T]
-    closest_angle = jnp.take_along_axis(
-        ref_heading[:, None, None].repeat(cand_pos.shape[1], 1)
-        .repeat(cand_pos.shape[2], 2),
-        idx[..., None],
-        axis=-1,
-    )[..., 0]
-    closest_pos = jnp.take_along_axis(
-        ref_pos[:, None, None].repeat(cand_pos.shape[1], 1)
-        .repeat(cand_pos.shape[2], 2),
-        idx[..., None, None].repeat(2, -1),
-        axis=-2,
-    )[..., 0, :]
+    r_ix = jnp.arange(R)[:, None, None]
+    closest_angle = ref_heading[r_ix, idx]  # [R, M, T]
+    closest_pos = ref_pos[r_ix, idx]  # [R, M, T, 2]
     delta_angle = wrap_angle(cand_heading - closest_angle)
     rel = cand_pos - closest_pos
     tangent = jnp.stack([jnp.cos(closest_angle), jnp.sin(closest_angle)], axis=-1)
@@ -343,8 +343,11 @@ def grpo_advantage(
     hit &= nb_valid[None, :, None]
     collision = hit.any(axis=1)  # [G, Tr]
 
-    # 6. off-road matrix
-    offroad = ~tmap.on_road(roll_pos.reshape(-1, 2)).reshape(G, num_frames)
+    # 6. off-road matrix — raster lookup (G*T points per CBV, batched over
+    #    all scenarios x CBVs: the exact polyline test would gather ~30 GB)
+    offroad = ~tmap.on_road_raster(roll_pos.reshape(-1, 2)).reshape(
+        G, num_frames
+    )
 
     # 7. reward -> discounted return, zeroed after first collision
     #    (get_rollout_return spec: `break` after the collision step — the

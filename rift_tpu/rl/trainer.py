@@ -105,8 +105,13 @@ def fit(
     cfg: TrainConfig,
     rng: jax.Array,
     round_idx: int = 0,
+    mesh=None,
 ):
     """Run the full fine-tune: `epochs` passes of shuffled batches.
+
+    With a `mesh`, each batch is sharded across the mesh's first axis
+    (params replicated): XLA turns the grad reduction into a psum over ICI —
+    the SPMD replacement for the reference's single-GPU Lightning fit.
 
     Returns (new_params, mean losses per epoch list).
     """
@@ -115,6 +120,10 @@ def fit(
     tx = make_optimizer(params, cfg, steps_per_epoch, round_idx)
     opt_state = tx.init(params)
     train_step = make_train_step(loss_fn, tx)
+    if mesh is not None:
+        from ..parallel import replicate, shard_batch
+
+        opt_state = replicate(opt_state, mesh)
 
     epoch_losses = []
     for epoch in range(cfg.epochs):
@@ -124,6 +133,8 @@ def fit(
         for b in range(steps_per_epoch):
             rng, srng = jax.random.split(rng)
             batch = gather_batch(buf, idx[b])
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
             params, opt_state, loss = train_step(params, opt_state, batch, srng)
             losses.append(loss)
         epoch_losses.append(float(jnp.stack(losses).mean()))

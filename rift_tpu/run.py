@@ -2,15 +2,24 @@
 
 The scripts/run.py + carla_runner.py equivalent (reference
 scripts/run.py:122-232, rift/carla_runner.py:410-487) without the CARLA
-server lifecycle: modes train_cbv / train_ego / eval / collect_data over any
-(ego policy x CBV policy x recognition) combination, with checkpoint/resume
-and leaderboard statistics.
+server lifecycle. All four modes work end to end:
+
+  eval          closed-loop benchmark + leaderboard statistics
+                (carla_runner.py:311-362)
+  train_cbv     fine-tune the CBV policy — buffer-full -> fit -> param swap
+                for the Pluto family, GAE PPO rounds for the classic rl
+                CBVs (carla_runner.py:185-247)
+  train_ego     PPO on the rl-type ego via env_step's ego_ctrl input
+                (carla_runner.py:249-309, rift/ego/rl/ppo.py)
+  collect_data  offline dataset -> HDF5 via CollectBuffer with
+                skip-existing resume (carla_runner.py:364-408)
 
     python -m rift_tpu.run --mode eval --ego_cfg pdm_lite --cbv_cfg rift_pluto \
         --num_scenario 4 --num_episodes 3 --town grid
 
-Routes can come from the synthetic towns or a Bench2Drive XML
-(--routes <file.xml>, corridor maps compiled per route).
+Routes come from the synthetic towns or a Bench2Drive XML (--routes
+<file.xml>), iterated through the Eval/TrainDataLoader with non-overlap
+batching and resume (scenario_data_loader.py semantics).
 """
 
 from __future__ import annotations
@@ -20,6 +29,7 @@ import json
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .map import make_grid_town, make_straight_town
@@ -30,30 +40,58 @@ from .utils import enable_compilation_cache
 from .utils.checkpoint import CheckpointManager
 from .utils.config import apply_overrides, load_config
 
+PAD_ROUTE_LANES = 64  # fixed lane padding for per-route corridor maps
+
 
 def build_map(args):
+    """Returns (tmap or None, route_configs or None)."""
     if args.routes:
-        from .map.from_route import map_from_route
         from .scenario.routes import parse_routes_file
 
         configs = parse_routes_file(args.routes, args.routes_subset)
-        return None, configs  # per-route corridor maps built at reset
+        return None, configs
     if args.town == "grid":
         return make_grid_town(blocks=args.blocks, num_lanes=2), None
     return make_straight_town(length=600.0, num_lanes=2), None
 
 
-def run_episode(env, ego, cbv, state, crit, spec, max_ticks, train=False):
-    extras_log = []
+def _step_kwargs(ego_out, cbv_out):
+    """Route policy outputs into env_step's control inputs."""
+    kw = {}
+    if isinstance(ego_out, dict):
+        kw["ego_ctrl"] = ego_out["ctrl"]
+    elif ego_out.ndim == 3:  # [S, T, 2] waypoints
+        kw["ego_traj"] = ego_out
+    elif ego_out.ndim == 2:  # [S, 3] raw control
+        kw["ego_ctrl"] = ego_out
+    if "traj" in cbv_out:
+        kw["cbv_traj"] = cbv_out["traj"]
+        kw["cbv_traj_mask"] = cbv_out["mask"]
+    elif "ctrl" in cbv_out:
+        kw["cbv_ctrl"] = cbv_out["ctrl"]
+        kw["cbv_ctrl_mask"] = cbv_out["mask"]
+    return kw
+
+
+def _ego_act(ego, spec, state, train):
+    try:
+        return ego.act(spec, state, train=train)
+    except TypeError:
+        return ego.act(spec, state)
+
+
+def run_episode(
+    env, ego, cbv, state, crit, spec, max_ticks,
+    train=False, on_tick=None,
+):
+    """Generic tick loop. `on_tick(prev_state, state, crit, ego_out,
+    cbv_out)` observes every transition (training collectors, data
+    collection, rendering)."""
     for _ in range(max_ticks):
-        ego_out = ego.act(spec, state)
+        ego_out = _ego_act(ego, spec, state, train)
         cbv_out = cbv.act(spec, state, train=train)
-        kw = {}
-        if ego_out.ndim == 3:  # [S, T, 2] waypoints
-            kw["ego_traj"] = ego_out
-        if "traj" in cbv_out:
-            kw["cbv_traj"] = cbv_out["traj"]
-            kw["cbv_traj_mask"] = cbv_out["mask"]
+        kw = _step_kwargs(ego_out, cbv_out)
+        prev_state = state
         state, crit = env.step(state, crit, **kw)
         if train and hasattr(cbv, "store_chunk") and "old_logits" in cbv_out:
             S, C = cbv_out["cbv_slots"].shape
@@ -68,11 +106,163 @@ def run_episode(env, ego, cbv, state, crit, spec, max_ticks, train=False):
                     & flat(cbv_out["adv_valid"]).any(axis=(-2, -1)),
                 }
             )
+        if on_tick is not None:
+            on_tick(prev_state, state, crit, ego_out, cbv_out)
         if env.all_done(crit):
             break
-    return state, crit, extras_log
+    return state, crit
 
 
+# ---------------------------------------------------------------------------
+# GAE batch assembly for the classic PPO paths
+# ---------------------------------------------------------------------------
+def _gae_batch(ppo, traj, bootstrap_value):
+    """traj: dict of [T, B, ...] numpy stacks (obs, action, logp, value,
+    reward, done, valid). Returns the flattened train batch over steps where
+    the agent was valid and its episode not yet over."""
+    from .rl.losses import gae
+
+    rewards = jnp.asarray(traj["reward"])  # [T, B]
+    values = jnp.concatenate(
+        [jnp.asarray(traj["value"]), jnp.asarray(bootstrap_value)[None]], axis=0
+    )  # [T+1, B]
+    dones = jnp.asarray(traj["done"])  # [T, B]
+
+    adv, ret = jax.vmap(
+        lambda r, v, d: gae(r, v, d, ppo.gamma, ppo.lam),
+        in_axes=1, out_axes=1,
+    )(rewards, values, dones)
+
+    live = np.asarray(traj["valid"], bool)  # [T, B]
+    # drop steps after the episode finished: keep up to & incl. first done
+    done_np = np.asarray(dones, bool)
+    after_done = np.concatenate(
+        [np.zeros((1,) + done_np.shape[1:], bool), np.cumsum(done_np, 0)[:-1] > 0]
+    )
+    keep = live & ~after_done
+    flat = lambda x: np.asarray(x)[keep]
+    return {
+        "obs": jnp.asarray(flat(traj["obs"])),
+        "action": jnp.asarray(flat(traj["action"])),
+        "old_log_prob": jnp.asarray(flat(traj["logp"])),
+        "advantage": jnp.asarray(flat(np.asarray(adv))),
+        "returns": jnp.asarray(flat(np.asarray(ret))),
+    }, int(keep.sum())
+
+
+def train_ego_episode(env, ego, cbv, state, crit, spec, max_ticks, tmap):
+    """Collect one batched episode of ego transitions, then PPO-update the
+    ego (reference ego/rl/ppo.py:31-270 semantics: shaped reward, GAE)."""
+    from .rl.classic import ego_shaped_reward
+
+    traj = {k: [] for k in ("obs", "action", "logp", "value", "reward", "done", "valid")}
+    last_out = None
+
+    def on_tick(prev_state, state, crit_now, ego_out, cbv_out):
+        nonlocal last_out
+        last_out = ego_out
+        lane_s, lane_lat, _ = tmap.project(state.lane[:, 0], state.pos[:, 0])
+        r = ego_shaped_reward(
+            speed_lon=state.speed[:, 0],
+            steer=ego_out["ctrl"][:, 1],
+            lane_dist=lane_lat,
+            collided=state.collision[:, 0],
+        )
+        traj["obs"].append(np.asarray(ego_out["obs"]))
+        traj["action"].append(np.asarray(ego_out["action"]))
+        traj["logp"].append(np.asarray(ego_out["logp"]))
+        traj["value"].append(np.asarray(ego_out["value"]))
+        traj["reward"].append(np.asarray(r))
+        traj["done"].append(np.asarray(crit_now.done))
+        traj["valid"].append(np.ones(state.alive.shape[0], bool))
+
+    state, crit = run_episode(
+        env, ego, cbv, state, crit, spec, max_ticks, train=True, on_tick=on_tick
+    )
+    if not traj["obs"]:
+        return state, crit, []
+    stacked = {k: np.stack(v) for k, v in traj.items()}
+    boot = ego.ppo.value(ego.ppo.params, jnp.asarray(stacked["obs"][-1]))
+    batch, n = _gae_batch(ego.ppo, stacked, boot)
+    losses = ego.train_round(batch) if n > 0 else []
+    return state, crit, losses
+
+
+def train_classic_cbv_episode(env, ego, cbv, state, crit, spec, max_ticks):
+    """Collect per-CBV transitions for the classic rl CBVs, then PPO-update
+    (reference cbv/planning/rl/ppo.py + CBVFullTrainReward semantics)."""
+    from .rl.classic import GOAL_RADIUS, cbv_full_train_reward
+
+    traj = {k: [] for k in ("obs", "action", "logp", "value", "reward", "done", "valid")}
+    prev_slots = None
+    prev_goal_dist = None
+
+    def on_tick(prev_state, state, crit_now, ego_out, cbv_out):
+        nonlocal prev_slots, prev_goal_dist
+        slots = np.asarray(cbv_out["cbv_slots"])  # [S, C]
+        valid = slots >= 0
+        sl = np.maximum(slots, 0)
+        s_ix = np.arange(slots.shape[0])[:, None]
+        goal = np.asarray(state.goal)[s_ix, sl]
+        pos = np.asarray(state.pos)[s_ix, sl]
+        goal_dist = np.linalg.norm(goal - pos, axis=-1)
+        if prev_goal_dist is None or prev_slots is None:
+            gd_prev = goal_dist
+            same = np.ones_like(valid)
+        else:
+            same = prev_slots == slots
+            gd_prev = np.where(same, prev_goal_dist, goal_dist)
+        collided = np.asarray(state.collision)[s_ix, sl] & valid
+        # collision not involving the ego (reference cbv_reward.py:44-52)
+        with_other = collided & (np.asarray(state.collided_with)[s_ix, sl] != 0)
+        reached = (goal_dist < GOAL_RADIUS) & valid
+        r = cbv_full_train_reward(
+            jnp.asarray(gd_prev), jnp.asarray(goal_dist),
+            jnp.asarray(with_other), jnp.asarray(reached),
+        )
+        done = (
+            collided | reached
+            | np.asarray(crit_now.done)[:, None]
+            | ~same
+        )
+        traj["obs"].append(np.asarray(cbv_out["obs"]))
+        traj["action"].append(np.asarray(cbv_out["action"]))
+        traj["logp"].append(np.asarray(cbv_out["logp"]))
+        traj["value"].append(np.asarray(cbv_out["value"]))
+        traj["reward"].append(np.asarray(r))
+        traj["done"].append(done)
+        traj["valid"].append(valid)
+        prev_slots, prev_goal_dist = slots, goal_dist
+
+    state, crit = run_episode(
+        env, ego, cbv, state, crit, spec, max_ticks, train=True, on_tick=on_tick
+    )
+    if not traj["obs"]:
+        return state, crit, []
+    # flatten the CBV axis into the batch axis: [T, S, C, ...] -> [T, S*C, ...]
+    stacked = {
+        k: np.stack(v).reshape((len(v), -1) + np.asarray(v[0]).shape[2:])
+        for k, v in traj.items()
+    }
+    boot_obs = jnp.asarray(stacked["obs"][-1])
+    boot = cbv.ppo.value(cbv.ppo.params, boot_obs)
+    batch, n = _gae_batch(cbv.ppo, stacked, boot)
+    losses = cbv.train_round(batch) if n > 0 else []
+    return state, crit, losses
+
+
+def collect_episode(env, ego, cbv, state, crit, spec, max_ticks, buffer):
+    """Store per-tick SimState snapshots (reference collect_buffer.py:130)."""
+
+    def on_tick(prev_state, state, crit_now, ego_out, cbv_out):
+        buffer.store(state)
+
+    return run_episode(
+        env, ego, cbv, state, crit, spec, max_ticks, train=False, on_tick=on_tick
+    )
+
+
+# ---------------------------------------------------------------------------
 def main(argv=None):
     p = argparse.ArgumentParser("rift_tpu")
     p.add_argument("--mode", default="eval",
@@ -88,6 +278,7 @@ def main(argv=None):
     p.add_argument("--blocks", type=int, default=2)
     p.add_argument("--routes", default="")
     p.add_argument("--routes_subset", default="")
+    p.add_argument("--repetitions", type=int, default=1)
     p.add_argument("--out_dir", default="log")
     p.add_argument("--resume", action="store_true")
     p.add_argument("overrides", nargs="*", help="hydra-style key=value")
@@ -99,10 +290,21 @@ def main(argv=None):
     cbv_cfg = apply_overrides(load_config(args.cbv_cfg), args.overrides)
 
     tmap, route_configs = build_map(args)
+    loader = None
     if tmap is None:
-        from .map.from_route import map_from_route
+        from .map.from_route import map_from_routes
+        from .scenario.routes import EvalDataLoader, TrainDataLoader
 
-        tmap = map_from_route(route_configs[0].keypoints, num_lanes=2)
+        # data loader over the shipped routes (scenario_data_loader.py)
+        if args.mode == "eval":
+            loader = EvalDataLoader(route_configs, args.num_scenario)
+        else:
+            loader = TrainDataLoader(route_configs, args.num_scenario,
+                                     seed=args.seed)
+        tmap, _ = map_from_routes(
+            [c.keypoints for c in route_configs[: args.num_scenario]],
+            num_lanes=2, pad_lanes_to=PAD_ROUTE_LANES,
+        )
 
     env = TrafficEnv(
         tmap,
@@ -126,26 +328,92 @@ def main(argv=None):
     if args.resume:
         if args.mode == "eval":
             start_ep = stats.resume_index // args.num_scenario
+            if loader is not None:
+                loader.configs = loader.configs[stats.resume_index:]
         elif hasattr(cbv, "load") and getattr(cbv, "params", None) is not None:
             ep = cbv.load(ckpt)
             start_ep = ep or 0
 
-    train = args.mode == "train_cbv"
-    for ep in range(start_ep, args.num_episodes):
-        state, crit, spec = env.reset()
-        state, crit, _ = run_episode(
-            env, ego, cbv, state, crit, spec, args.max_ticks, train=train
+    collect_buffer = None
+    if args.mode == "collect_data":
+        from .rl.collect import CollectBuffer
+
+        collect_buffer = CollectBuffer(out_dir, ego.name, cbv.name)
+        if collect_buffer.exists() and args.resume:
+            print(f"collect_data: {collect_buffer.h5_path} exists, skipping")
+            return collect_buffer.h5_path
+
+    def reset_env(ep):
+        """Per-episode reset; with a route loader, rebuild the corridor map
+        for the sampled batch (fixed lane padding -> no recompilation) and
+        run each scenario on its own route."""
+        if loader is None:
+            return env.reset()
+        from .map import route_waypoints
+        from .map.from_route import map_from_routes
+
+        batch = loader.sampler()
+        if not batch:
+            return env.reset()
+        while len(batch) < args.num_scenario:  # pad the final partial batch
+            batch.append(batch[-1])
+        new_tmap, lane_paths = map_from_routes(
+            [c.keypoints for c in batch[: args.num_scenario]],
+            num_lanes=2, pad_lanes_to=PAD_ROUTE_LANES,
         )
-        stats.register_episode(crit, state, spec)
-        if train and hasattr(cbv, "buffer_full") and cbv.buffer_full():
-            losses = cbv.train_round()
-            print(f"episode {ep}: fine-tune losses {losses}")
+        env.tmap = new_tmap
+        for pol in (ego, cbv):
+            if hasattr(pol, "tmap"):
+                pol.tmap = new_tmap
+        routes = [route_waypoints(new_tmap, p) for p in lane_paths]
+        return env.reset(routes=routes, lane_paths=lane_paths)
+
+    train_cbv_mode = args.mode == "train_cbv"
+    ego_is_rl = getattr(ego, "type", "") == "rl"
+    cbv_is_classic_rl = getattr(cbv, "type", "") == "rl"
+
+    for ep in range(start_ep, args.num_episodes):
+        state, crit, spec = reset_env(ep)
+        if args.mode == "train_ego" and ego_is_rl:
+            state, crit, losses = train_ego_episode(
+                env, ego, cbv, state, crit, spec, args.max_ticks, tmap
+            )
+            if losses:
+                print(f"episode {ep}: ego PPO losses {losses[:3]}...")
+            if hasattr(ego, "save"):
+                ego.save(ckpt, ep)
+        elif train_cbv_mode and cbv_is_classic_rl:
+            state, crit, losses = train_classic_cbv_episode(
+                env, ego, cbv, state, crit, spec, args.max_ticks
+            )
+            if losses:
+                print(f"episode {ep}: classic CBV PPO losses {losses[:3]}...")
             if hasattr(cbv, "save"):
                 cbv.save(ckpt, ep)
+        elif args.mode == "collect_data":
+            state, crit = collect_episode(
+                env, ego, cbv, state, crit, spec, args.max_ticks, collect_buffer
+            )
+        else:
+            state, crit = run_episode(
+                env, ego, cbv, state, crit, spec, args.max_ticks,
+                train=train_cbv_mode,
+            )
+            if train_cbv_mode and hasattr(cbv, "buffer_full") and cbv.buffer_full():
+                losses = cbv.train_round()
+                print(f"episode {ep}: fine-tune losses {losses}")
+                if hasattr(cbv, "save"):
+                    cbv.save(ckpt, ep)
+        stats.register_episode(crit, state, spec)
         print(
             f"episode {ep}: DS="
             f"{np.mean([r.driving_score for r in stats.records[-args.num_scenario:]]):.1f}"
         )
+
+    if collect_buffer is not None:
+        path = collect_buffer.save()
+        print(f"collect_data: wrote {path}")
+        return path
 
     g = stats.compute_global_statistics()
     print(json.dumps(g.__dict__, indent=2))

@@ -29,7 +29,6 @@ from .rl import (
     ring_reset,
 )
 from .scenario import TrafficEnv, cbv_slot_assignment
-from .scenario.recognition import cbv_route_masks
 from .scenario.statistics import StatisticsManager
 
 
@@ -44,6 +43,9 @@ class RunnerConfig:
     seed: int = 0
     encoder_depth: int = 4
     decoder_depth: int = 4
+    # data-parallel over the scenario axis on every visible device (SPMD:
+    # params replicated, rollout + train batches sharded, grad psum by XLA)
+    shard: bool = True
 
 
 class Runner:
@@ -66,13 +68,29 @@ class Runner:
         self.stats = StatisticsManager()
         self.train_rounds = 0
         self.rng = jax.random.PRNGKey(self.cfg.seed)
+        self.mesh = None
+        if self.cfg.shard and len(jax.devices()) > 1:
+            n = len(jax.devices())
+            if self.cfg.num_scenarios % n == 0:
+                from .parallel import make_mesh, replicate
+
+                self.mesh = make_mesh(n)
+                self.tmap = replicate(self.tmap, self.mesh)
+                self.env.tmap = self.tmap
+
+    def _shard_scenario(self, tree):
+        """Shard a leading-[S] pytree across the scenario mesh axis."""
+        if self.mesh is None:
+            return tree
+        from .parallel import shard_batch
+
+        return shard_batch(tree, self.mesh)
 
     # ------------------------------------------------------------------
     def init_params(self):
         state, crit, spec = self.env.reset()
         slots = cbv_slot_assignment(state.is_cbv, self.cfg.max_cbvs)
-        masks = cbv_route_masks(self.tmap, spec, state, slots)
-        feats, _ = build_cbv_features(self.tmap, state, slots, masks)
+        feats, _ = build_cbv_features(self.tmap, state, slots, spec)
         flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), feats)
         self.rng, k = jax.random.split(self.rng)
         # init on CPU: flax init is a huge one-shot graph; compiling it on
@@ -80,7 +98,14 @@ class Runner:
         from .utils.cache import init_params_on_cpu
 
         self.params = init_params_on_cpu(self.model.init, k, flat)
+        if self.mesh is not None:
+            from .parallel import replicate
+
+            self.params = replicate(self.params, self.mesh)
         self._feat_template = jax.tree.map(lambda x: x[0, 0], feats)
+        state = self._shard_scenario(state)
+        crit = self._shard_scenario(crit)
+        self.env.spec = spec = self._shard_scenario(spec)
         return state, crit, spec
 
     def _init_buffer(self, old_logits_shape):
@@ -103,6 +128,9 @@ class Runner:
             state, crit, spec = self.init_params()
         else:
             state, crit, spec = self.env.reset()
+            state = self._shard_scenario(state)
+            crit = self._shard_scenario(crit)
+            self.env.spec = spec = self._shard_scenario(spec)
 
         if collect is not None:
             for _ in range(self.cfg.max_episode_ticks):
@@ -175,6 +203,7 @@ class Runner:
                 self.params, losses = fit(
                     self.params, self.buffer, self._rift_loss_fn,
                     self.cfg.train, k, round_idx=self.train_rounds,
+                    mesh=self.mesh,
                 )
                 self.train_rounds += 1
                 self.buffer = ring_reset(self.buffer)

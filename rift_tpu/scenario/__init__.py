@@ -13,7 +13,6 @@ from .env import (
     spawn_agents,
 )
 from .recognition import (
-    cbv_route_masks,
     cbv_slot_assignment,
     recognize_cbvs,
 )
@@ -30,6 +29,5 @@ __all__ = [
     "sample_route",
     "spawn_agents",
     "recognize_cbvs",
-    "cbv_route_masks",
     "cbv_slot_assignment",
 ]

@@ -88,6 +88,17 @@ def make_scenario_spec(
         ego_route_len[i] = n
         rr[i], rl[i] = route_road_lane_ids(tmap, path, pad_to=RIDS_PAD)
         timeout[i] = int(n * TIMEOUT_SEC_PER_M * fps)
+
+    # episode-static lane tables: on-route mask + reference-line chains
+    # (the per-tick topology walk of the reference becomes this one-time
+    # precompute; see map/reference_lines.py)
+    from ..map.reference_lines import build_lane_chains
+
+    route_lane_mask = jax.vmap(tmap.on_route_mask)(
+        jnp.asarray(rr), jnp.asarray(rl)
+    )
+    lane_chains = build_lane_chains(tmap, route_lane_mask)
+
     return ScenarioSpec(
         ego_route=ego_route,
         ego_route_len=ego_route_len,
@@ -95,6 +106,8 @@ def make_scenario_spec(
         route_lane_ids=rl,
         ego_target_speed=np.full((S,), ego_target_speed, np.float32),
         timeout_ticks=timeout,
+        route_lane_mask=np.asarray(route_lane_mask),
+        lane_chains=np.asarray(lane_chains),
     )
 
 
@@ -189,10 +202,20 @@ def env_step(
     cbv_traj: jnp.ndarray | None = None,  # [S, A, T, 2] local waypoints
     cbv_traj_mask: jnp.ndarray | None = None,  # [S, A]
     ego_traj: jnp.ndarray | None = None,  # [S, T, 2] (learned egos)
+    ego_ctrl: jnp.ndarray | None = None,  # [S, 3] raw throttle/steer/brake
+    cbv_ctrl: jnp.ndarray | None = None,  # [S, A, 3] raw CBV controls
+    cbv_ctrl_mask: jnp.ndarray | None = None,  # [S, A]
     max_cbvs: int = 3,
     dt: float = 0.1,
 ):
-    """One full environment tick for every scenario."""
+    """One full environment tick for every scenario.
+
+    Control inputs, by agent kind (reference two-phase step semantics,
+    carla_env.py:294-347): the ego follows `ego_traj` waypoints or raw
+    `ego_ctrl` (rl-type egos, ego/rl/ppo.py), otherwise the rule ego; CBVs
+    follow `cbv_traj` waypoints (Pluto family) or raw `cbv_ctrl` (classic
+    rl CBVs, cbv_action.py rl-type); everyone else runs the IDM autopilot.
+    """
     S, A = state.alive.shape
 
     # ---- ego control: rule ego unless a trajectory is provided
@@ -216,10 +239,22 @@ def env_step(
         traj = jnp.where(cbv_traj_mask[..., None, None], cbv_traj, traj)
         traj_mask |= cbv_traj_mask
 
+    # raw-control agents (rl-type action converters)
+    ctrl = jnp.zeros((S, A, 3)).at[..., 2].set(1.0)
+    ctrl_mask = jnp.zeros((S, A), bool)
+    if cbv_ctrl is not None:
+        ctrl = jnp.where(cbv_ctrl_mask[..., None], cbv_ctrl, ctrl)
+        ctrl_mask |= cbv_ctrl_mask
+    if ego_ctrl is not None:
+        ctrl = ctrl.at[:, 0].set(ego_ctrl)
+        ctrl_mask = ctrl_mask.at[:, 0].set(True)
+        traj_mask = traj_mask.at[:, 0].set(False)
+
     # freeze finished scenarios: everything brakes
     frozen = crit.done
-    ctrl = jnp.zeros((S, A, 3)).at[..., 2].set(1.0)
-    ctrl_mask = jnp.broadcast_to(frozen[:, None], (S, A))
+    brake = jnp.zeros(3).at[2].set(1.0)
+    ctrl = jnp.where(frozen[:, None, None], brake, ctrl)
+    ctrl_mask = ctrl_mask | frozen[:, None]
 
     state = world_step(
         tmap, spec, state,
@@ -298,10 +333,12 @@ class TrafficEnv:
         crit = jax.device_put(init_criteria(self.num_scenarios, self.num_agents))
         return state, crit, self.spec
 
-    def step(self, state, crit, cbv_traj=None, cbv_traj_mask=None, ego_traj=None):
+    def step(self, state, crit, cbv_traj=None, cbv_traj_mask=None,
+             ego_traj=None, ego_ctrl=None, cbv_ctrl=None, cbv_ctrl_mask=None):
         return env_step(
             self.tmap, self.spec, state, crit,
             cbv_traj=cbv_traj, cbv_traj_mask=cbv_traj_mask, ego_traj=ego_traj,
+            ego_ctrl=ego_ctrl, cbv_ctrl=cbv_ctrl, cbv_ctrl_mask=cbv_ctrl_mask,
             max_cbvs=self.max_cbvs, dt=self.dt,
         )
 

@@ -51,20 +51,29 @@ def recognize_cbvs(
     ego_pos = state.pos[:, 0]
     route = spec.ego_route[..., :2]  # [S, W, 2]
     W = route.shape[1]
-    w_idx = jnp.arange(W, dtype=jnp.float32)
-    route_valid = w_idx[None] < spec.ego_route_len[:, None].astype(jnp.float32)
 
-    # ego route distance to each waypoint (1 m spacing)
-    d_ego = w_idx[None] - state.ego_route_cursor[:, None]  # [S, W]
+    # matching only looks MAX_EGO_ROUTE_AHEAD m ahead of the ego's cursor, so
+    # gather that window instead of scanning the full padded route (1 m
+    # spacing -> window of W_WIN waypoints)
+    W_WIN = int(MAX_EGO_ROUTE_AHEAD) + 16
+    base = jnp.clip(state.ego_route_cursor.astype(jnp.int32), 0, W - 1)  # [S]
+    w_abs = jnp.minimum(base[:, None] + jnp.arange(W_WIN)[None], W - 1)  # [S, W']
+    route_w = jax.vmap(lambda r, i: r[i])(route, w_abs)  # [S, W', 2]
+    w_f = w_abs.astype(jnp.float32)
+    route_valid = w_abs < spec.ego_route_len[:, None]
+
+    # ego route distance to each windowed waypoint (1 m spacing)
+    d_ego = w_f - state.ego_route_cursor[:, None]  # [S, W']
     ahead = (d_ego >= 0) & (d_ego <= MAX_EGO_ROUTE_AHEAD) & route_valid
 
     # candidate route-distance proxy
     d_cbv = jnp.linalg.norm(
-        route[:, None] - state.pos[:, :, None], axis=-1
-    )  # [S, A, W]
+        route_w[:, None] - state.pos[:, :, None], axis=-1
+    )  # [S, A, W']
     mismatch = jnp.abs(d_cbv - d_ego[:, None])
     mismatch = jnp.where(ahead[:, None], mismatch, jnp.inf)
-    best_w = jnp.argmin(mismatch, axis=-1)  # [S, A]
+    best_w_win = jnp.argmin(mismatch, axis=-1)  # [S, A] window index
+    best_w = jnp.take_along_axis(w_abs, best_w_win, axis=-1)  # absolute index
     best_mismatch = jnp.min(mismatch, axis=-1)
 
     dist_ego = jnp.linalg.norm(state.pos - ego_pos[:, None], axis=-1)
@@ -102,34 +111,6 @@ def recognize_cbvs(
     interaction = jnp.where(promote, best_w, -1)
 
     return new_is_cbv, goal, goal_valid, interaction, promote
-
-
-def cbv_route_masks(
-    tmap: TensorMap,
-    spec: ScenarioSpec,
-    state: SimState,
-    cbv_slots: jnp.ndarray,  # [S, C]
-    corridor: float = 60.0,
-):
-    """Per-CBV on-route lane masks [S, C, L] for reference-line extraction.
-
-    The reference builds a per-CBV global route (interaction waypoint extended
-    with random road options). Here the mask is: lanes on the ego route plus
-    lanes within `corridor` meters of the CBV — giving the topology traversal
-    the same freedom the extended route provides.
-    """
-    ego_route_mask = jax.vmap(tmap.on_route_mask)(
-        spec.route_road_ids, spec.route_lane_ids
-    )  # [S, L]
-    slot = jnp.maximum(cbv_slots, 0)
-    cbv_pos = jnp.take_along_axis(
-        state.pos, slot[..., None].repeat(2, -1), axis=1
-    )  # [S, C, 2]
-    d2 = jnp.sum(
-        (tmap.lane_mid[None, None] - cbv_pos[:, :, None]) ** 2, axis=-1
-    )  # [S, C, L]
-    near = d2 < corridor * corridor
-    return (near | ego_route_mask[:, None]) & tmap.valid[None, None]
 
 
 def attn_recognize_cbvs(

@@ -88,6 +88,9 @@ class ScenarioSpec:
     route_lane_ids: jnp.ndarray  # [S, RIDS] int32
     ego_target_speed: jnp.ndarray  # [S] m/s
     timeout_ticks: jnp.ndarray  # [S] int32 (reference: 1 s per route meter)
+    # lane tables (None allowed for specs that never build planner features)
+    route_lane_mask: jnp.ndarray | None = None  # [S, L] lane on ego route
+    lane_chains: jnp.ndarray | None = None  # [S, L, 2, MAX_CHAIN] chains
 
 
 def init_sim_state(

@@ -129,7 +129,7 @@ def step(
     # ------------------------------------------------------------------
     # 6. lane binding
     # ------------------------------------------------------------------
-    new_lane = tmap.nearest_lane(new_pos)  # [S, A]
+    new_lane = tmap.nearest_lane(new_pos, new_heading)  # [S, A]
     red_entry = ego_red_light_entry(
         tmap, state.lane[:, 0], new_lane[:, 0], state.tick
     )

@@ -38,7 +38,10 @@ def test_statistics_checkpoint_resume(tmp_path):
     sm.register_episode(crit, state, spec)
     assert os.path.exists(path)
 
-    sm2 = StatisticsManager(path)
+    # resume must be explicit (reference gates it, carla_runner.py:513-527)
+    sm_fresh = StatisticsManager(path)
+    assert sm_fresh.resume_index == 0
+    sm2 = StatisticsManager(path, resume=True)
     assert sm2.resume_index == 2
     g = sm2.compute_global_statistics()
     assert g.total_routes == 2

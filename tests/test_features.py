@@ -2,9 +2,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rift_tpu.map import make_straight_town
+from rift_tpu.map import build_lane_chains, make_straight_town
 from rift_tpu.models.pluto import PlutoModel, build_cbv_features
 from rift_tpu.sim import init_sim_state
+from rift_tpu.sim.state import ScenarioSpec
+
+
+def _spec_all_on_route(tm, S):
+    """Minimal ScenarioSpec for feature tests: every lane on route."""
+    L = tm.num_lanes
+    mask = jnp.broadcast_to(tm.valid, (S, L))
+    return ScenarioSpec(
+        ego_route=jnp.zeros((S, 8, 3)),
+        ego_route_len=jnp.full((S,), 8, jnp.int32),
+        route_road_ids=jnp.full((S, 4), -1, jnp.int32),
+        route_lane_ids=jnp.zeros((S, 4), jnp.int32),
+        ego_target_speed=jnp.full((S,), 8.0),
+        timeout_ticks=jnp.full((S,), 100, jnp.int32),
+        route_lane_mask=mask,
+        lane_chains=build_lane_chains(tm, mask),
+    )
 
 
 def _setup(S=2, A=6):
@@ -29,8 +46,7 @@ def test_cbv_features_shapes_and_frame():
     tm, st = _setup()
     S, C, L = 2, 2, tm.num_lanes
     cbv_slots = jnp.full((S, C), -1, jnp.int32).at[:, 0].set(1)
-    route_masks = jnp.broadcast_to(tm.valid, (S, C, L))
-    feats, valid = build_cbv_features(tm, st, cbv_slots, route_masks)
+    feats, valid = build_cbv_features(tm, st, cbv_slots, _spec_all_on_route(tm, S))
     assert feats["agent"]["position"].shape == (S, C, 32, 21, 2)
     assert feats["map"]["point_position"].shape == (S, C, 64, 3, 20, 2)
     assert feats["reference_line"]["position"].shape == (S, C, 4, 120, 2)
@@ -64,8 +80,7 @@ def test_cbv_features_shapes_and_frame():
 def test_features_feed_model():
     tm, st = _setup()
     cbv_slots = jnp.zeros((2, 1), jnp.int32).at[:].set(1)
-    route_masks = jnp.broadcast_to(tm.valid, (2, 1, tm.num_lanes))
-    feats, valid = build_cbv_features(tm, st, cbv_slots, route_masks)
+    feats, valid = build_cbv_features(tm, st, cbv_slots, _spec_all_on_route(tm, 2))
     # flatten [S, C] -> batch
     flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), feats)
     model = PlutoModel(encoder_depth=1, decoder_depth=1)

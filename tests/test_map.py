@@ -4,14 +4,21 @@ import numpy as np
 
 from rift_tpu.map import (
     LANE_POINTS,
-    extract_reference_lines,
+    build_lane_chains,
     make_grid_town,
     make_straight_town,
     nearest_lane_host,
+    reference_lines_from_chains,
     route_road_lane_ids,
     route_waypoints,
     trace_route,
 )
+
+
+def _ref_lines(tm, position, route_mask):
+    chains = build_lane_chains(tm, route_mask[None])[0]
+    cur = tm.nearest_lane(position)
+    return reference_lines_from_chains(tm, chains, cur, position)
 
 
 def test_straight_town_shapes():
@@ -109,7 +116,7 @@ def test_reference_lines_straight():
     path, _ = trace_route(tm, start, goal)
     rr, rl = route_road_lane_ids(tm, path)
     route_mask = tm.on_route_mask(jnp.asarray(rr), jnp.asarray(rl))
-    refs = extract_reference_lines(tm, jnp.array([10.0, 0.0]), route_mask)
+    refs = _ref_lines(tm, jnp.array([10.0, 0.0]), route_mask)
     assert refs["position"].shape == (4, 120, 2)
     assert refs["valid_mask"].shape == (4, 120)
     # primary line follows the lane: y stays ~0, x increases ~1m/point
@@ -132,7 +139,7 @@ def test_reference_lines_dedupe():
     tm = make_straight_town(length=300.0, num_lanes=1)
     L = tm.num_lanes
     route_mask = tm.valid
-    refs = extract_reference_lines(tm, jnp.array([10.0, 0.0]), route_mask)
+    refs = _ref_lines(tm, jnp.array([10.0, 0.0]), route_mask)
     valid_lines = np.asarray(refs["valid_mask"]).any(-1)
     assert valid_lines.sum() == 1, f"expected 1 unique line, got {valid_lines}"
 
@@ -141,6 +148,9 @@ def test_reference_lines_jit_under_vmap():
     tm = make_straight_town(length=300.0, num_lanes=2)
     route_mask = tm.valid
     positions = jnp.array([[10.0, 0.0], [50.0, -3.5], [120.0, 0.0]])
-    refs = jax.vmap(lambda p: extract_reference_lines(tm, p, route_mask))(positions)
+    chains = build_lane_chains(tm, route_mask[None])[0]
+    refs = jax.vmap(
+        lambda p: reference_lines_from_chains(tm, chains, tm.nearest_lane(p), p)
+    )(positions)
     assert refs["position"].shape == (3, 4, 120, 2)
     assert bool(refs["valid_mask"][0, 0].any())

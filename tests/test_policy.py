@@ -46,11 +46,9 @@ def test_pluto_cbv_act_eval_and_closed_loop():
     res_shapes = None
     from rift_tpu.models.pluto import build_cbv_features
     from rift_tpu.scenario import cbv_slot_assignment
-    from rift_tpu.scenario.recognition import cbv_route_masks
 
     slots = cbv_slot_assignment(state.is_cbv, 2)
-    masks = cbv_route_masks(tm, spec, state, slots)
-    feats, _ = build_cbv_features(tm, state, slots, masks)
+    feats, _ = build_cbv_features(tm, state, slots, spec)
     flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), feats)
     params = model.init(jax.random.PRNGKey(0), flat)
 
@@ -81,11 +79,9 @@ def test_pluto_cbv_act_train_mode_advantage():
     model = PlutoModel(encoder_depth=1, decoder_depth=1)
     from rift_tpu.models.pluto import build_cbv_features
     from rift_tpu.scenario import cbv_slot_assignment
-    from rift_tpu.scenario.recognition import cbv_route_masks
 
     slots = cbv_slot_assignment(state.is_cbv, 2)
-    masks = cbv_route_masks(tm, spec, state, slots)
-    feats, _ = build_cbv_features(tm, state, slots, masks)
+    feats, _ = build_cbv_features(tm, state, slots, spec)
     flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), feats)
     params = model.init(jax.random.PRNGKey(0), flat)
 
