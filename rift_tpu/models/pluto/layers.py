@@ -31,7 +31,7 @@ class MLPLayer(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype)(x)
-        x = nn.LayerNorm(dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.relu(x)
         return nn.Dense(self.out, dtype=self.dtype)(x)
 
@@ -60,11 +60,11 @@ class FourierEmbedding(nn.Module):
             h = nn.Dense(self.dim, name=f"mlp{i}_fc1", dtype=self.dtype)(
                 feats[..., i, :]
             )
-            h = nn.LayerNorm(name=f"mlp{i}_ln", dtype=self.dtype)(h)
+            h = nn.LayerNorm(epsilon=1e-5, name=f"mlp{i}_ln", dtype=self.dtype)(h)
             h = nn.relu(h)
             h = nn.Dense(self.dim, name=f"mlp{i}_fc2", dtype=self.dtype)(h)
             out = out + h
-        out = nn.LayerNorm(name="out_ln", dtype=self.dtype)(out)
+        out = nn.LayerNorm(epsilon=1e-5, name="out_ln", dtype=self.dtype)(out)
         out = nn.relu(out)
         return nn.Dense(self.dim, name="out_fc", dtype=self.dtype)(out)
 
@@ -75,6 +75,10 @@ class PointsEncoder(nn.Module):
 
     out_dim: int
     dtype: Optional[jnp.dtype] = None
+    # "ln" (mask-friendly from-scratch default) or "none" (pretrained torch
+    # weights: the reference's eval-mode BatchNorm folds into the preceding
+    # Linear — see convert.py — leaving no norm op here)
+    norm: str = "ln"
 
     @nn.compact
     def __call__(self, x, mask):
@@ -84,13 +88,16 @@ class PointsEncoder(nn.Module):
         # (observed on v5e); 3D also matches the reference's reshape.
         batch = x.shape[:-2]
         if len(batch) > 1:
-            out = PointsEncoder(self.out_dim, name="flat", dtype=self.dtype)(
+            out = PointsEncoder(
+                self.out_dim, name="flat", dtype=self.dtype, norm=self.norm
+            )(
                 x.reshape((-1,) + x.shape[-2:]),
                 mask.reshape((-1,) + mask.shape[-1:]),
             )
             return out.reshape(batch + (self.out_dim,))
         h = nn.Dense(128, dtype=self.dtype)(x)
-        h = nn.LayerNorm(dtype=self.dtype)(h)
+        if self.norm == "ln":
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(h)
         h = nn.relu(h)
         h = nn.Dense(256, dtype=self.dtype)(h)
         h = jnp.where(mask[..., None], h, -1e9)
@@ -100,7 +107,8 @@ class PointsEncoder(nn.Module):
         pooled = h.max(axis=-2, keepdims=True)
         h = jnp.concatenate([h, jnp.broadcast_to(pooled, h.shape)], axis=-1)
         h = nn.Dense(256, dtype=self.dtype)(h)
-        h = nn.LayerNorm(dtype=self.dtype)(h)
+        if self.norm == "ln":
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(h)
         h = nn.relu(h)
         h = nn.Dense(self.out_dim, dtype=self.dtype)(h)
         h = jnp.where(mask[..., None], h, -1e9)
@@ -140,6 +148,10 @@ class Attention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
+    # neighborhood-attention relative position bias: learn rpb [H, 2w-1]
+    # indexed by (j - i) clamped to a window of w keys (natten's RPB — lets
+    # pretrained NATLayer weights load losslessly)
+    rel_pos_window: int = 0
 
     @nn.compact
     def __call__(
@@ -160,6 +172,15 @@ class Attention(nn.Module):
         vh = nn.DenseGeneral((H, Dh), name="v", dtype=self.dtype)(v)
         logits = jnp.einsum("...qhd,...khd->...hqk", qh, kh) / jnp.sqrt(Dh)
         logits = logits.astype(jnp.float32)  # stable softmax
+        if self.rel_pos_window > 0:
+            w = self.rel_pos_window
+            rpb = self.param(
+                "rpb", nn.initializers.zeros, (H, 2 * w - 1)
+            )  # relative offsets -(w-1)..(w-1)
+            n = q.shape[-2]
+            i = jnp.arange(n)
+            rel = jnp.clip(i[None, :] - i[:, None] + (w - 1), 0, 2 * w - 2)
+            logits = logits + rpb[:, rel]
         if attn_bias is not None:
             logits = logits + attn_bias
         if key_padding_mask is not None:
@@ -186,12 +207,12 @@ class TransformerEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, deterministic: bool = True):
-        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         h = Attention(self.dim, self.num_heads, self.dropout, dtype=self.dtype)(
             h, key_padding_mask=key_padding_mask, deterministic=deterministic
         )
         x = x + DropPath(self.drop_path_rate)(h, deterministic)
-        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype)(h)
         h = nn.gelu(h)
         h = nn.Dense(self.dim, dtype=self.dtype)(h)
@@ -200,10 +221,15 @@ class TransformerEncoderLayer(nn.Module):
 
 
 def band_mask(n: int, window: int) -> jnp.ndarray:
-    """(n, n) additive bias: 0 inside |i-j| <= window//2, -1e9 outside —
-    the dense equivalent of neighborhood attention at this scale."""
+    """(n, n) additive bias: the dense equivalent of natten's 1-D
+    neighborhood attention — every query attends to exactly `window` keys,
+    centered where possible and clamped at sequence edges
+    (natten NeighborhoodAttention1D semantics)."""
+    w = min(window, n)
     i = jnp.arange(n)
-    near = jnp.abs(i[:, None] - i[None, :]) <= window // 2
+    start = jnp.clip(i - (w - 1) // 2, 0, n - w)
+    j = jnp.arange(n)
+    near = (j[None, :] >= start[:, None]) & (j[None, :] < start[:, None] + w)
     return jnp.where(near, 0.0, -1e9)
 
 
@@ -221,12 +247,13 @@ class LocalBlock(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         n = x.shape[-2]
         bias = band_mask(n, self.window)
-        h = nn.LayerNorm(dtype=self.dtype)(x)
-        h = Attention(self.dim, self.num_heads, dtype=self.dtype)(
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        h = Attention(self.dim, self.num_heads, dtype=self.dtype,
+                      rel_pos_window=self.window)(
             h, attn_bias=bias, deterministic=deterministic
         )
         x = x + DropPath(self.drop_path_rate)(h, deterministic)
-        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype)(h)
         h = nn.gelu(h)
         h = nn.Dense(self.dim, dtype=self.dtype)(h)
@@ -265,11 +292,11 @@ class HistoryEncoder(nn.Module):
                 done += 1
                 x = LocalBlock(dim, heads, win, drop_path_rate=rate,
                                dtype=self.dtype)(x, deterministic)
-            outs.append(nn.LayerNorm(dtype=self.dtype)(x))
+            outs.append(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x))
             if level < len(self.depths) - 1:
                 x = nn.Conv(dim * 2, kernel_size=(3,), strides=(2,),
                             padding="SAME", dtype=self.dtype)(x)
-                x = nn.LayerNorm(dtype=self.dtype)(x)
+                x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
                 dim *= 2
         # FPN: project all levels to the last dim, upsample-add, final conv
         n_out = dim
@@ -278,14 +305,15 @@ class HistoryEncoder(nn.Module):
             for o in outs
         ]
         for i in range(len(laterals) - 1, 0, -1):
-            up = jnp.repeat(
-                laterals[i], laterals[i - 1].shape[-2] // laterals[i].shape[-2], axis=-2
+            # linear interpolation like the reference's F.interpolate
+            # (embedding.py NATSequenceEncoder FPN)
+            tgt_len = laterals[i - 1].shape[-2]
+            up = jax.image.resize(
+                laterals[i],
+                laterals[i].shape[:-2] + (tgt_len, laterals[i].shape[-1]),
+                method="linear",
             )
-            # pad if lengths mismatch
-            if up.shape[-2] < laterals[i - 1].shape[-2]:
-                pad = laterals[i - 1].shape[-2] - up.shape[-2]
-                up = jnp.concatenate([up, up[..., -1:, :].repeat(pad, axis=-2)], axis=-2)
-            laterals[i - 1] = laterals[i - 1] + up[..., : laterals[i - 1].shape[-2], :]
+            laterals[i - 1] = laterals[i - 1] + up
         out = nn.Conv(n_out, kernel_size=(3,), padding="SAME", dtype=self.dtype)(
             laterals[0]
         )

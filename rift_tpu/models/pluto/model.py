@@ -108,6 +108,7 @@ class MapEncoder(nn.Module):
 
     dim: int = 128
     dtype: Optional[jnp.dtype] = None
+    points_norm: str = "ln"
 
     @nn.compact
     def __call__(self, data):
@@ -130,7 +131,9 @@ class MapEncoder(nn.Module):
             ],
             axis=-1,
         )  # [B, M, P, 10]
-        x = PointsEncoder(self.dim, dtype=self.dtype)(feat, valid)
+        x = PointsEncoder(self.dim, dtype=self.dtype, norm=self.points_norm)(
+            feat, valid
+        )
 
         x = x + nn.Embed(3, self.dim, name="type_emb", dtype=self.dtype)(
             m["polygon_type"].astype(jnp.int32)
@@ -211,7 +214,7 @@ class DecoderLayer(nn.Module):
     ):
         B, R, M, D = tgt.shape
         # r2r: attend across reference lines (batched over modes)
-        h = nn.LayerNorm(dtype=self.dtype)(tgt)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(tgt)
         h = h.transpose(0, 2, 1, 3).reshape(B * M, R, D)
         pad = jnp.repeat(r_key_padding, M, axis=0)  # (B*M, R)
         h = Attention(self.dim, self.num_heads, self.dropout, name="r2r",
@@ -222,7 +225,7 @@ class DecoderLayer(nn.Module):
         tgt = tgt + h
 
         # m2m: attend across modes (batched over reference lines)
-        h = nn.LayerNorm(dtype=self.dtype)(tgt)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(tgt)
         h = h.reshape(B * R, M, D)
         hq = h + m_pos
         h = Attention(self.dim, self.num_heads, self.dropout, name="m2m",
@@ -234,7 +237,7 @@ class DecoderLayer(nn.Module):
         tgt = tgt + h
 
         # cross-attention to the scene encoding
-        h = nn.LayerNorm(dtype=self.dtype)(tgt).reshape(B, R * M, D)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(tgt).reshape(B, R * M, D)
         h = Attention(self.dim, self.num_heads, self.dropout, name="cross",
                       dtype=self.dtype)(
             h, memory, memory,
@@ -243,7 +246,7 @@ class DecoderLayer(nn.Module):
         ).reshape(B, R, M, D)
         tgt = tgt + h
 
-        h = nn.LayerNorm(dtype=self.dtype)(tgt)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(tgt)
         h = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype)(h)
         h = nn.relu(h)
         h = nn.Dense(self.dim, dtype=self.dtype)(h)
@@ -262,6 +265,7 @@ class PlanningDecoder(nn.Module):
     future_steps: int = 80
     cat_x: bool = True
     dtype: Optional[jnp.dtype] = None
+    points_norm: str = "ln"
 
     @nn.compact
     def __call__(self, data, enc_emb, enc_key_padding, deterministic=True):
@@ -282,9 +286,9 @@ class PlanningDecoder(nn.Module):
             ],
             axis=-1,
         )  # (B, R, N, 6)
-        r_emb = PointsEncoder(self.dim, name="r_encoder", dtype=self.dtype)(
-            feat, r_valid
-        )
+        r_emb = PointsEncoder(
+            self.dim, name="r_encoder", dtype=self.dtype, norm=self.points_norm
+        )(feat, r_valid)
         r_pos_feat = jnp.concatenate(
             [r_pos[:, :, 0], r_ori[:, :, 0, None]], axis=-1
         )
@@ -357,6 +361,8 @@ class PlutoModel(nn.Module):
     # compute dtype: bf16 halves activation bandwidth / doubles MXU rate on
     # TPU; params and outputs stay float32
     dtype: Optional[jnp.dtype] = jnp.bfloat16
+    # "none" when loading converted torch weights (BN folded into Linears)
+    points_norm: str = "ln"
 
     @nn.compact
     def __call__(self, data: Dict[str, Any], deterministic: bool = True):
@@ -379,7 +385,9 @@ class PlutoModel(nn.Module):
             self.dim, self.state_channel, self.history_steps,
             self.drop_path, self.state_dropout, dtype=self.dtype,
         )(data, deterministic)
-        x_polygon = MapEncoder(self.dim, dtype=self.dtype)(data)
+        x_polygon = MapEncoder(
+            self.dim, dtype=self.dtype, points_norm=self.points_norm
+        )(data)
         x_static, static_pos, static_key_padding = StaticObjectsEncoder(
             self.dim, dtype=self.dtype
         )(data)
@@ -397,7 +405,7 @@ class PlutoModel(nn.Module):
                 self.dim, self.num_heads, drop_path_rate=rate, name=f"enc{i}",
                 dtype=self.dtype,
             )(x, key_padding_mask=key_padding_mask, deterministic=deterministic)
-        x = nn.LayerNorm(name="enc_norm", dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="enc_norm", dtype=self.dtype)(x)
 
         prediction = AgentPredictor(
             self.dim, self.future_steps, name="agent_predictor", dtype=self.dtype
@@ -407,6 +415,7 @@ class PlutoModel(nn.Module):
             self.num_modes, self.decoder_depth, self.dim, self.num_heads,
             4, self.dropout, self.future_steps, cat_x=True,
             name="planning_decoder", dtype=self.dtype,
+            points_norm=self.points_norm,
         )(data, x, key_padding_mask, deterministic)
 
         out = {
