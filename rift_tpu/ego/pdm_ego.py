@@ -138,12 +138,18 @@ def pdm_ego_waypoints(
 
     # red-light stop (pdm_lite autopilot.py:1053-1205 equivalent)
     if tmap is not None:
+        from ..sim.stop_signs import stop_target_speed
         from ..sim.traffic_lights import red_ahead
 
         must_stop, _ = red_ahead(
             tmap, state.lane[:, :1], state.pos[:, :1], state.tick
         )
         v_target = jnp.where(must_stop[:, 0], 0.0, v_target)
+        # stop signs: creep to the line, halt once, then proceed
+        v_target = stop_target_speed(
+            tmap, state.lane[:, 0], state.pos[:, 0],
+            state.stopped_at_stop[:, 0], v_target,
+        )
 
     spacing = jnp.maximum(v_target * dt, 1e-3)
     return path_follow_waypoints(

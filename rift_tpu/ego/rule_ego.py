@@ -28,6 +28,7 @@ def rule_ego_waypoints(
     state: SimState,
     dt: float = 0.1,
     num_points: int = 30,
+    tmap=None,
 ) -> jnp.ndarray:
     """[S, N, 2] local-frame waypoints for agent slot 0 of each scenario."""
     leaders = find_leaders(
@@ -38,6 +39,18 @@ def rule_ego_waypoints(
         spec.ego_target_speed > 0, spec.ego_target_speed, EGO_SPEED_DEFAULT
     )
     v_target = idm_target_speed(state.speed[:, 0], v0, ego_leaders, dt)
+    if tmap is not None:
+        from ..sim.stop_signs import stop_target_speed
+        from ..sim.traffic_lights import red_ahead
+
+        must_stop, _ = red_ahead(
+            tmap, state.lane[:, :1], state.pos[:, :1], state.tick
+        )
+        v_target = jnp.where(must_stop[:, 0], 0.0, v_target)
+        v_target = stop_target_speed(
+            tmap, state.lane[:, 0], state.pos[:, 0],
+            state.stopped_at_stop[:, 0], v_target,
+        )
     spacing = jnp.maximum(v_target * dt, 1e-3)
     return path_follow_waypoints(
         spec.ego_route,

@@ -7,7 +7,8 @@ from .routing import (
     route_waypoints,
     trace_route,
 )
-from .synthetic import make_grid_town, make_straight_town
+from .npz_fixture import lanes_to_map_data, save_npz
+from .synthetic import grid_town_lanes, make_grid_town, make_straight_town
 
 __all__ = [
     "LANE_POINTS",
@@ -24,4 +25,7 @@ __all__ = [
     "route_road_lane_ids",
     "make_grid_town",
     "make_straight_town",
+    "grid_town_lanes",
+    "lanes_to_map_data",
+    "save_npz",
 ]

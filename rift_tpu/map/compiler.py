@@ -31,9 +31,19 @@ def compile_town(
     speed_limit_mps: float = 14.0,
     pad_lanes_to: int | None = None,
 ) -> TensorMap:
-    """Compile the raw HD-map dict into a TensorMap."""
+    """Compile the raw HD-map dict into a TensorMap.
+
+    Trigger_Volumes become signalisation: a StopSign volume marks the
+    nearest same-road lane end as a stop line (`TensorMap.stop_lane`); a
+    TrafficLight volume assigns a light group to the junction connectors
+    downstream of its approach lane, with volumes clustered into junctions
+    (<= 2 * CLUSTER_RADIUS apart) and phased by approach axis — the
+    `gen_hdmap.py` TriggerVolumeGettor data consumed the way
+    CarlaDataProvider consumes live traffic lights.
+    """
     lanes: list[dict] = []
     crosswalks: list[np.ndarray] = []
+    trigger_volumes: list[dict] = []  # {road_id, type, center}
 
     for road_id, road_data in map_data.items():
         if road_id == "Crosswalks":
@@ -51,6 +61,17 @@ def compile_town(
             continue
         for lane_id, lane_data in road_data.items():
             if lane_id == "Trigger_Volumes":
+                for tv in lane_data:
+                    pts = np.asarray(
+                        [(p[0], p[1]) for p in tv["Points"]], np.float64
+                    )
+                    trigger_volumes.append(
+                        dict(
+                            road_id=int(road_id),
+                            type=tv.get("Type", ""),
+                            center=pts.mean(axis=0),
+                        )
+                    )
                 continue
             marks = dict(lane_data.get("LaneMark", {}))
             # merge multi-part marks per side (nuplan_map_utils.py:167-178)
@@ -102,7 +123,75 @@ def compile_town(
                 )
             )
 
+    _apply_trigger_volumes(lanes, trigger_volumes)
     return build_tensor_map(lanes, crosswalks=crosswalks, pad_lanes_to=pad_lanes_to)
+
+
+CLUSTER_RADIUS = 25.0  # lights within 2x this of each other share a junction
+
+
+def _apply_trigger_volumes(lanes: list[dict], volumes: list[dict]) -> None:
+    """Mutate lane dicts: stop lines + junction light groups from volumes."""
+    if not volumes:
+        return
+    by_key = {(int(l["road_id"]), int(l["lane_id"])): l for l in lanes}
+    by_road: dict[int, list[dict]] = {}
+    for ln in lanes:
+        by_road.setdefault(int(ln["road_id"]), []).append(ln)
+
+    def approach_lane(v):
+        """Nearest same-road lane END to the volume center."""
+        cands = by_road.get(v["road_id"], [])
+        if not cands:
+            return None
+        ends = np.asarray([np.asarray(l["centerline"])[-1] for l in cands])
+        d = np.linalg.norm(ends - v["center"][None], axis=-1)
+        return cands[int(np.argmin(d))]
+
+    # ---- stop signs
+    for v in volumes:
+        if v["type"] == "StopSign":
+            ln = approach_lane(v)
+            if ln is not None:
+                ln["stop"] = True
+
+    # ---- traffic lights: cluster into junctions, phase by approach axis
+    lights = [v for v in volumes if v["type"] == "TrafficLight"]
+    if not lights:
+        return
+    centers = np.asarray([v["center"] for v in lights])
+    cluster = np.full(len(lights), -1, np.int64)
+    n_clusters = 0
+    for i in range(len(lights)):
+        if cluster[i] >= 0:
+            continue
+        cluster[i] = n_clusters
+        # greedy flood: anything within 2*CLUSTER_RADIUS of a member joins
+        changed = True
+        while changed:
+            member = cluster == n_clusters
+            d = np.linalg.norm(
+                centers[:, None] - centers[None, member], axis=-1
+            ).min(-1)
+            grow = (cluster < 0) & (d < 2 * CLUSTER_RADIUS)
+            changed = bool(grow.any())
+            cluster[grow] = n_clusters
+        n_clusters += 1
+
+    for v, cl in zip(lights, cluster):
+        ln = approach_lane(v)
+        if ln is None:
+            continue
+        c = np.asarray(ln["centerline"], np.float64)
+        vec = c[-1] - c[-2]
+        yaw = np.arctan2(vec[1], vec[0])
+        axis = int(round(yaw / (np.pi / 2))) % 2  # 0 = E/W, 1 = N/S
+        group = int(cl) * 2 + axis
+        # the light lives on the connectors downstream of the approach
+        for s in ln.get("successors", []):
+            nxt = by_key.get(tuple(map(int, s)))
+            if nxt is not None and nxt.get("is_junction"):
+                nxt["light_group"] = group
 
 
 def compile_town_from_npz(path: str, **kw) -> TensorMap:

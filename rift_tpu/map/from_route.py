@@ -1,13 +1,19 @@
-"""Corridor maps derived from Bench2Drive routes.
+"""Junction-bearing maps derived from Bench2Drive routes.
 
 The reference repo ships Bench2Drive route XMLs but not the CARLA HD-map npz
-artifacts (see DESIGN.md). This builder turns route keypoint polylines into a
-drivable TensorMap corridor — the route lane plus parallel same-direction
-lanes — so the shipped routes run closed-loop end to end. `map_from_routes`
-merges a whole batch of routes into ONE map (distinct road-id ranges per
-route) so the data loader's non-overlapping batches co-simulate in one
-device program. When real `TownXX_HD_map.npz` files are present,
-`compiler.compile_town` supersedes this.
+artifacts (see DESIGN.md), so route keypoint polylines are compiled into a
+drivable TensorMap town: the route corridor (route lane + parallel lanes)
+plus, at every detected corner, a REAL junction — the corridor is cut
+`JUNCTION_RADIUS` short on both sides and re-joined with signalised bezier
+connectors, and a perpendicular two-way cross road with straight-through
+connectors (opposing light phase) crosses there. Routes therefore traverse
+junctions with working traffic lights and crossing traffic, so red-light
+infractions and crossing-hazard behavior are exercised on the shipped
+routes (VERDICT r1 item 6). `map_from_routes` merges a whole batch of
+routes into ONE map (distinct road-id ranges per route) so the data
+loader's non-overlapping batches co-simulate in one device program. When
+real `TownXX_HD_map.npz` files are present, `compiler.compile_town`
+supersedes this.
 """
 
 from __future__ import annotations
@@ -18,38 +24,83 @@ from .tensor_map import TensorMap, build_tensor_map
 
 SEGMENT_LEN = 100.0
 LANE_WIDTH = 3.5
-ROAD_ID_STRIDE = 1000  # road-id block per route in a merged map
+ROAD_ID_STRIDE = 10000  # road-id block per route in a merged map
+JUNCTION_RADIUS = 14.0  # corridor cut-back around a corner
+CROSS_ARM_LEN = 60.0  # cross-road length each side of the junction
+CORNER_ANGLE = 0.35  # rad of heading change that makes a corner (~20 deg)
+CORNER_WINDOW = 4  # resample steps (x2 m) over which the change is measured
+MIN_CORNER_GAP = 50.0  # m between distinct corners
+RESAMPLE_M = 2.0
 
 
-def _route_lanes(
-    keypoints: np.ndarray,
-    road_base: int,
-    num_lanes: int,
-    lane_width: float,
-    speed_limit: float,
-):
-    """Lane dicts for one route corridor. Returns (lanes, primary_keys) where
-    primary_keys are the (road_id, lane_id) of the route lane's segments in
-    driving order."""
+def _resample(keypoints: np.ndarray) -> np.ndarray:
     pts = np.asarray(keypoints, dtype=np.float64)[:, :2]
     seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
     s = np.concatenate([[0.0], np.cumsum(seg)])
     total = max(s[-1], 4.0)
-    t = np.arange(0.0, total, 2.0)
-    pts = np.stack(
+    t = np.arange(0.0, total, RESAMPLE_M)
+    return np.stack(
         [np.interp(t, s, pts[:, 0]), np.interp(t, s, pts[:, 1])], axis=-1
     )
 
+
+def _headings(pts: np.ndarray) -> np.ndarray:
+    vec = np.gradient(pts, axis=0)
+    return np.arctan2(vec[:, 1], vec[:, 0])
+
+
+def _find_corners(pts: np.ndarray) -> list[int]:
+    """Indices of junction-worthy corners: local maxima of windowed heading
+    change above CORNER_ANGLE, at least MIN_CORNER_GAP apart and clear of
+    the route ends."""
+    h = _headings(pts)
+    w = CORNER_WINDOW
+    n = len(pts)
+    if n < 4 * w:
+        return []
+    delta = np.abs(
+        np.angle(np.exp(1j * (h[2 * w :] - h[: -2 * w])))
+    )  # [n-2w]
+    corners: list[int] = []
+    margin = int((JUNCTION_RADIUS + 6.0) / RESAMPLE_M)
+    i = margin
+    lim = len(delta) - margin
+    gap = int(MIN_CORNER_GAP / RESAMPLE_M)
+    while i < lim:
+        if delta[i] > CORNER_ANGLE:
+            # take the local peak of this corner event
+            j = i
+            while j + 1 < lim and delta[j + 1] >= delta[j]:
+                j += 1
+            corners.append(j + w)  # center of the window
+            i = j + gap
+        else:
+            i += 1
+    return corners
+
+
+def _corridor_lanes(
+    pts: np.ndarray,
+    road_base: int,
+    num_lanes: int,
+    lane_width: float,
+    speed_limit: float,
+    lanes: list[dict],
+    keys_out: list[tuple],
+):
+    """Append corridor lane dicts for one uninterrupted route section.
+    Returns (first_keys, last_keys) per lane offset for junction stitching:
+    lists of the section's first and last (road_id, lane_id) per lane."""
     vec = np.gradient(pts, axis=0)
     norm = np.maximum(np.linalg.norm(vec, axis=1, keepdims=True), 1e-9)
     d = vec / norm
     right = np.stack([d[:, 1], -d[:, 0]], axis=-1)
-
+    total = RESAMPLE_M * (len(pts) - 1)
     n_seg = max(int(np.ceil(total / SEGMENT_LEN)), 1)
     pts_per_seg = max(len(pts) // n_seg, 2)
 
-    lanes = []
-    primary_keys = []
+    first_keys = [None] * num_lanes
+    last_keys = [None] * num_lanes
     for li in range(num_lanes):
         off = li * lane_width
         lane_pts = pts + right * off
@@ -74,9 +125,179 @@ def _route_lanes(
                     speed_limit=speed_limit,
                 )
             )
+            if first_keys[li] is None:
+                first_keys[li] = (road, lane_id)
+            last_keys[li] = (road, lane_id)
             if li == 0:
-                primary_keys.append((road, lane_id))
-    return lanes, primary_keys
+                keys_out.append((road, lane_id))
+    return first_keys, last_keys
+
+
+def _bezier(p0, d0, p1, d1, n=15):
+    dist = max(np.linalg.norm(p1 - p0), 1e-6)
+    c0 = p0 + d0 * dist * 0.4
+    c1 = p1 - d1 * dist * 0.4
+    t = np.linspace(0, 1, n)[:, None]
+    return (
+        (1 - t) ** 3 * p0
+        + 3 * (1 - t) ** 2 * t * c0
+        + 3 * (1 - t) * t**2 * c1
+        + t**3 * p1
+    )
+
+
+def _route_lanes(
+    keypoints: np.ndarray,
+    road_base: int,
+    num_lanes: int,
+    lane_width: float,
+    speed_limit: float,
+    light_group_base: int,
+    cross_roads: bool = True,
+):
+    """Lane dicts for one route: corridor sections + signalised junctions
+    with cross roads at corners. Returns (lanes, primary_keys, n_junctions)."""
+    pts = _resample(keypoints)
+    corners = _find_corners(pts)
+    cut = int(JUNCTION_RADIUS / RESAMPLE_M)
+
+    lanes: list[dict] = []
+    primary: list[tuple] = []
+    by_key = lambda: {(l["road_id"], l["lane_id"]): l for l in lanes}
+
+    # section boundaries (in resample indices)
+    bounds = [0]
+    for c in corners:
+        bounds += [max(c - cut, bounds[-1] + 2), c + cut]
+    bounds.append(len(pts) - 1)
+
+    section_ends = []  # (first_keys, last_keys) per section
+    rid = road_base
+    for k in range(0, len(bounds) - 1, 2):
+        lo, hi = bounds[k], bounds[k + 1]
+        sec = pts[lo : hi + 1]
+        if len(sec) < 2:
+            sec = pts[lo : lo + 2]
+        fk, lk = _corridor_lanes(
+            sec, rid, num_lanes, lane_width, speed_limit, lanes, primary
+        )
+        section_ends.append((fk, lk))
+        rid += 200
+
+    # junctions between consecutive sections
+    table = by_key()
+    for j, c in enumerate(corners):
+        group = light_group_base + 2 * j
+        _, prev_last = section_ends[j]
+        next_first, _ = section_ends[j + 1]
+        h_in = _headings(pts)[max(c - cut, 0)]
+        h_out = _headings(pts)[min(c + cut, len(pts) - 1)]
+        d_in = np.array([np.cos(h_in), np.sin(h_in)])
+        d_out = np.array([np.cos(h_out), np.sin(h_out)])
+        for li in range(num_lanes):
+            a, b = prev_last[li], next_first[li]
+            if a is None or b is None:
+                continue
+            p0 = np.asarray(table[a]["centerline"])[-1]
+            p1 = np.asarray(table[b]["centerline"])[0]
+            conn_rid = rid
+            rid += 1
+            lane_id = -(li + 1)
+            lanes.append(
+                dict(
+                    centerline=_bezier(p0, d_in, p1, d_out),
+                    width=lane_width,
+                    road_id=conn_rid,
+                    lane_id=lane_id,
+                    is_junction=True,
+                    successors=[b],
+                    left_adj=None,
+                    right_adj=None,
+                    speed_limit=speed_limit,
+                    light_group=group,
+                )
+            )
+            table[a].setdefault("successors", []).append((conn_rid, lane_id))
+            table[(conn_rid, lane_id)] = lanes[-1]
+            if li == 0:
+                # splice the connector into the primary driving order,
+                # right after its approach segment
+                primary.insert(primary.index(a) + 1, (conn_rid, lane_id))
+
+        if not cross_roads:
+            continue
+        # perpendicular two-way cross road through the corner
+        center = pts[c]
+        bis = d_in + d_out
+        bis = bis / max(np.linalg.norm(bis), 1e-9)
+        perp = np.array([-bis[1], bis[0]])
+        for side in (0, 1):  # two directions of the cross road
+            dirv = perp if side == 0 else -perp
+            rightv = np.array([dirv[1], -dirv[0]])
+            for li in range(num_lanes):
+                off = (li + 0.5) * lane_width
+                lane_id = -(li + 1)
+                # incoming arm: far -> junction edge
+                a0 = center - dirv * CROSS_ARM_LEN + rightv * off
+                a1 = center - dirv * JUNCTION_RADIUS + rightv * off
+                # outgoing arm: junction edge -> far
+                b0 = center + dirv * JUNCTION_RADIUS + rightv * off
+                b1 = center + dirv * CROSS_ARM_LEN + rightv * off
+                rid_in, rid_conn, rid_out = rid, rid + 1, rid + 2
+                rid += 3
+                lanes.append(
+                    dict(
+                        centerline=np.stack(
+                            [a0 + (a1 - a0) * t for t in np.linspace(0, 1, 15)]
+                        ),
+                        width=lane_width,
+                        road_id=rid_in,
+                        lane_id=lane_id,
+                        is_junction=False,
+                        successors=[(rid_conn, lane_id)],
+                        left_adj=(rid_in, lane_id + 1) if li > 0 else None,
+                        right_adj=(rid_in, lane_id - 1)
+                        if li + 1 < num_lanes
+                        else None,
+                        speed_limit=speed_limit,
+                    )
+                )
+                lanes.append(
+                    dict(
+                        centerline=np.stack(
+                            [a1 + (b0 - a1) * t for t in np.linspace(0, 1, 15)]
+                        ),
+                        width=lane_width,
+                        road_id=rid_conn,
+                        lane_id=lane_id,
+                        is_junction=True,
+                        successors=[(rid_out, lane_id)],
+                        left_adj=None,
+                        right_adj=None,
+                        speed_limit=speed_limit,
+                        light_group=group + 1,  # opposing phase to the route
+                    )
+                )
+                lanes.append(
+                    dict(
+                        centerline=np.stack(
+                            [b0 + (b1 - b0) * t for t in np.linspace(0, 1, 15)]
+                        ),
+                        width=lane_width,
+                        road_id=rid_out,
+                        lane_id=lane_id,
+                        is_junction=False,
+                        successors=[],
+                        left_adj=(rid_out, lane_id + 1) if li > 0 else None,
+                        right_adj=(rid_out, lane_id - 1)
+                        if li + 1 < num_lanes
+                        else None,
+                        speed_limit=speed_limit,
+                    )
+                )
+        table = by_key()
+
+    return lanes, primary, len(corners)
 
 
 def map_from_routes(
@@ -85,18 +306,23 @@ def map_from_routes(
     lane_width: float = LANE_WIDTH,
     speed_limit: float = 14.0,
     pad_lanes_to: int | None = None,
+    cross_roads: bool = True,
 ):
     """One TensorMap covering every route in the batch.
 
     Returns (tmap, lane_paths) with lane_paths[i] = the lane indices of route
-    i's primary corridor lane, in driving order (feeds TrafficEnv.reset).
+    i's primary path (corridor segments + junction connectors), in driving
+    order (feeds TrafficEnv.reset).
     """
     all_lanes: list[dict] = []
     all_keys: list[list[tuple]] = []
+    lg_base = 0
     for ri, kp in enumerate(keypoints_list):
-        lanes, keys = _route_lanes(
-            kp, ri * ROAD_ID_STRIDE, num_lanes, lane_width, speed_limit
+        lanes, keys, n_junc = _route_lanes(
+            kp, ri * ROAD_ID_STRIDE, num_lanes, lane_width, speed_limit,
+            light_group_base=lg_base, cross_roads=cross_roads,
         )
+        lg_base += 2 * n_junc
         all_lanes.extend(lanes)
         all_keys.append(keys)
 
@@ -121,7 +347,7 @@ def map_from_route(
     speed_limit: float = 14.0,
     pad_lanes_to: int | None = None,
 ) -> TensorMap:
-    """Single-route corridor (back-compat convenience)."""
+    """Single-route map (back-compat convenience)."""
     tmap, _ = map_from_routes(
         [keypoints], num_lanes, lane_width, speed_limit, pad_lanes_to
     )

@@ -86,6 +86,54 @@ def trace_route(tmap: TensorMap, start_lane: int, goal_lane: int):
     return path[::-1], float(dist[goal_lane])
 
 
+def route_distance_field(tmap: TensorMap, lane_path: list[int], max_dist: float = 400.0):
+    """Per-lane driving distance to the ego route (host, reset-time).
+
+    Returns (D [L] float32, J [L] float32): D[l] = driving distance from the
+    START of lane l to where the lane graph first joins the route;
+    J[l] = route arclength (m) at that join point. Path lanes seed D=0 with
+    J = their cumulative arclength. Unreachable lanes get D=inf.
+
+    A candidate at arclength s on lane l is then, for any route point at
+    arclength w: `route_dist = (D[l] - s) + (w - J[l])`, valid when
+    w >= J[l] — the per-candidate A* of the reference's interaction
+    matching (base_cbv.py:66-192) collapsed into one reset-time field.
+    """
+    succ, left, right, length, valid = _host_arrays(tmap)
+    L = len(length)
+    # reversed adjacency: reaching lane u's start means we can relax every
+    # predecessor p with weight length[p]
+    preds: list[list[int]] = [[] for _ in range(L)]
+    for u in range(L):
+        if not valid[u]:
+            continue
+        for v in succ[u]:
+            if v >= 0 and valid[v]:
+                preds[int(v)].append(u)
+
+    D = np.full(L, np.inf, np.float64)
+    J = np.full(L, np.inf, np.float64)
+    pq = []
+    s_cum = 0.0
+    for li in lane_path:
+        if not np.isfinite(J[li]):
+            D[li] = 0.0
+            J[li] = s_cum
+            heapq.heappush(pq, (0.0, int(li)))
+        s_cum += float(length[li])
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > D[u] or d > max_dist:
+            continue
+        for p in preds[u]:
+            nd = d + float(length[p])
+            if nd < D[p]:
+                D[p] = nd
+                J[p] = J[u]
+                heapq.heappush(pq, (nd, p))
+    return D.astype(np.float32), J.astype(np.float32)
+
+
 def route_waypoints(tmap: TensorMap, lane_path: list[int], spacing: float = 1.0):
     """Densify a lane path into ~`spacing`-meter waypoints [N, 3] (x, y, hdg).
 

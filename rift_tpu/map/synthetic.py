@@ -35,9 +35,11 @@ def make_straight_town(
     num_lanes: int = 2,
     lane_width: float = LANE_WIDTH,
     pad_lanes_to: int | None = None,
+    stop_segment: int | None = None,
 ) -> TensorMap:
     """A straight multi-lane road along +x, split into 100 m segments so
-    topology traversal is exercised. Lane i is offset -i*w (to the right)."""
+    topology traversal is exercised. Lane i is offset -i*w (to the right).
+    `stop_segment` marks that segment's end as a stop line on every lane."""
     seg_len = 100.0
     n_seg = max(int(np.ceil(length / seg_len)), 1)
     lanes = []
@@ -59,6 +61,7 @@ def make_straight_town(
                     left_adj=(road, lane_id + 1) if li > 0 else None,
                     right_adj=(road, lane_id - 1) if li + 1 < num_lanes else None,
                     speed_limit=SPEED_LIMIT,
+                    stop=(si == stop_segment),
                 )
             )
     return build_tensor_map(lanes, pad_lanes_to=pad_lanes_to)
@@ -70,10 +73,33 @@ def make_grid_town(
     num_lanes: int = 2,
     lane_width: float = LANE_WIDTH,
     pad_lanes_to: int | None = None,
+    stop_ratio: float = 0.0,
 ) -> TensorMap:
+    """Manhattan grid town compiled to a TensorMap (see grid_town_lanes)."""
+    lanes = grid_town_lanes(
+        blocks=blocks, block_size=block_size, num_lanes=num_lanes,
+        lane_width=lane_width, stop_ratio=stop_ratio,
+    )
+    return build_tensor_map(lanes, pad_lanes_to=pad_lanes_to)
+
+
+def grid_town_lanes(
+    blocks: int = 3,
+    block_size: float = 120.0,
+    num_lanes: int = 2,
+    lane_width: float = LANE_WIDTH,
+    stop_ratio: float = 0.0,
+) -> list[dict]:
     """Manhattan grid: (blocks+1)^2 intersections joined by two-way roads,
     each direction `num_lanes` wide, with arc connectors (right turn, left
-    turn) and straight connectors through every junction.
+    turn) and straight connectors through every junction. Returns the lane
+    dicts (build_tensor_map input) so they can also be exported to the
+    reference's npz schema (map/npz_fixture.py).
+
+    `stop_ratio` > 0 converts that fraction of junctions (deterministically,
+    every round(1/ratio)-th) from signalised to all-way-stop: their
+    connectors lose the light group and every approach lane gets a stop
+    line at its end (`TensorMap.stop_lane`).
 
     Road id layout:
       horizontal segment (i,j)->(i+1,j): rid = 1000 + (j*blocks + i)*2 + dir
@@ -160,16 +186,22 @@ def make_grid_town(
                 out.append((ii, jj))
         return out
 
+    stop_every = int(round(1.0 / stop_ratio)) if stop_ratio > 0 else 0
+
     for i in range(n):
         for j in range(n):
             junction_idx = i * n + j
+            is_stop_junction = stop_every > 0 and junction_idx % stop_every == 0
             for src in neighbors(i, j):
                 if seg_key(src, (i, j)) not in seg_ids:
                     continue
                 rid_in = seg_ids[seg_key(src, (i, j))]
                 # approach axis: 0 = horizontal (east/west), 1 = vertical
                 axis = 0 if src[1] == j else 1
-                light_group = junction_idx * 2 + axis
+                light_group = -1 if is_stop_junction else junction_idx * 2 + axis
+                if is_stop_junction:
+                    for li in range(num_lanes):
+                        by_rid_lane[(rid_in, -(li + 1))]["stop"] = True
                 for dst in neighbors(i, j):
                     if dst == src:
                         continue  # no U-turn
@@ -203,7 +235,7 @@ def make_grid_town(
                             "successors", []
                         ).append((rid, lane_id))
 
-    return build_tensor_map(lanes, pad_lanes_to=pad_lanes_to)
+    return lanes
 
 
 def _lane_dir(lane: dict, idx: int) -> np.ndarray:

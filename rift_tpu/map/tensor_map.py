@@ -66,6 +66,10 @@ class TensorMap:
     # 2*j + axis share the light of junction j's `axis` approach (the
     # gen_hdmap.py Trigger_Volumes equivalent; see sim/traffic_lights.py).
     light_group: jnp.ndarray  # [L] int32
+    # stop signs: True -> the lane END is a stop line (CARLA places
+    # `traffic.stop` trigger volumes on junction approaches; RunningStopTest
+    # semantics in sim/stop_signs.py + scenario/criteria.py)
+    stop_lane: jnp.ndarray  # [L] bool
     # crosswalks: 3 edge polylines (center/left/right) x Pc points, like
     # nuplan_map_utils.py:_get_crosswalk_edges
     crosswalk_edges: jnp.ndarray  # [C, 3, Pc, 2]
@@ -291,6 +295,7 @@ def build_tensor_map(
     speed_limit = onp.zeros(Lp, onp.float32)
     valid = onp.zeros(Lp, bool)
     light_group = onp.full(Lp, -1, onp.int32)
+    stop_lane = onp.zeros(Lp, bool)
 
     key_to_idx: dict[tuple[int, int], int] = {}
     for i, ln in enumerate(lanes):
@@ -318,6 +323,7 @@ def build_tensor_map(
         speed_limit[i] = float(ln.get("speed_limit", 14.0))
         valid[i] = True
         light_group[i] = int(ln.get("light_group", -1))
+        stop_lane[i] = bool(ln.get("stop", False))
 
     successors = onp.full((Lp, max_successors), -1, onp.int32)
     predecessors = onp.full((Lp, max_successors), -1, onp.int32)
@@ -380,6 +386,7 @@ def build_tensor_map(
         right_adj=jnp.asarray(right_adj),
         valid=jnp.asarray(valid),
         light_group=jnp.asarray(light_group),
+        stop_lane=jnp.asarray(stop_lane),
         crosswalk_edges=jnp.asarray(crosswalk_edges),
         crosswalk_valid=jnp.asarray(crosswalk_valid),
         grid_lanes=jnp.asarray(grid_lanes),
@@ -391,6 +398,8 @@ def build_tensor_map(
 
 
 RASTER_CELL = 1.0  # m — matches the reference's raster granularity
+MAX_RASTER_CELLS = 4_000_000  # coarsen beyond this (multi-km route maps)
+MAX_GRID_CELLS = 1_500_000  # same cap for the lane hash grid
 
 
 def _build_drivable_raster(
@@ -414,6 +423,12 @@ def _build_drivable_raster(
     verts = centerline[lane_ids_valid].reshape(-1, 2)
     vert_lane = onp.repeat(lane_ids_valid, centerline.shape[1])
     hi = verts.max(0) + 12.0
+    # adaptive resolution: real-town routes span kilometers — cap the raster
+    # at ~MAX_RASTER_CELLS by coarsening (accuracy loss documented; the
+    # evaluator treats off-road at raster granularity either way)
+    area = float(hi[0] - origin[0]) * float(hi[1] - origin[1])
+    if area / (cell * cell) > MAX_RASTER_CELLS:
+        cell = float(onp.sqrt(area / MAX_RASTER_CELLS))
     rx = int(onp.ceil((hi[0] - origin[0]) / cell)) + 1
     ry = int(onp.ceil((hi[1] - origin[1]) / cell)) + 1
     xs = origin[0] + (onp.arange(rx) + 0.5) * cell
@@ -423,17 +438,21 @@ def _build_drivable_raster(
     ).reshape(-1, 2)
 
     tree = cKDTree(verts)
-    q = min(8 * k, len(verts))
-    _, vidx = tree.query(centers, k=q, workers=-1)
-    vidx = onp.atleast_2d(vidx)
+    # cheap pre-filter: cells farther than any plausible half-width from the
+    # nearest vertex can never be drivable — skip the expensive k-query
+    # (route-union maps are mostly empty AABB)
+    d1, _ = tree.query(centers, k=1, workers=-1)
+    cutoff = float(width[lane_ids_valid].max()) * 0.5 + margin + 6.0
+    near = onp.flatnonzero(d1 <= cutoff)
 
     out = onp.zeros(centers.shape[0], bool)
+    q = min(8 * k, len(verts))
     chunk = 65536
-    P = centerline.shape[1]
-    for lo in range(0, centers.shape[0], chunk):
-        hi_ = min(lo + chunk, centers.shape[0])
-        pts = centers[lo:hi_]  # [n, 2]
-        lanes = vert_lane[vidx[lo:hi_]]  # [n, q] (dupes fine)
+    for lo in range(0, len(near), chunk):
+        sel = near[lo : lo + chunk]
+        pts = centers[sel]  # [n, 2]
+        _, vidx = tree.query(pts, k=q, workers=-1)
+        lanes = vert_lane[onp.atleast_2d(vidx)]  # [n, q] (dupes fine)
         lanes = lanes[:, :: max(q // k, 1)][:, :k]  # subsample to k candidates
         cl = centerline[lanes]  # [n, k, P, 2]
         a, b = cl[:, :, :-1], cl[:, :, 1:]  # segments
@@ -445,7 +464,7 @@ def _build_drivable_raster(
         proj = a + t[..., None] * ab
         d = onp.linalg.norm(pts[:, None, None] - proj, axis=-1).min(-1)  # [n, k]
         half_w = width[lanes] * 0.5 + margin
-        out[lo:hi_] = (d <= half_w).any(-1)
+        out[sel] = (d <= half_w).any(-1)
     return out.reshape(ry, rx), onp.float32(1.0 / cell)
 
 
@@ -472,6 +491,11 @@ def _build_spatial_grid(
     vert_lane = onp.repeat(lane_ids_valid, centerline.shape[1])
     lo = verts.min(0) - margin
     hi = verts.max(0) + margin
+    # adaptive cell on multi-km maps (exactness kept by the K-candidate
+    # re-rank as long as the cell's K nearest lanes cover the local overlap)
+    area = float(hi[0] - lo[0]) * float(hi[1] - lo[1])
+    if area / (cell * cell) > MAX_GRID_CELLS:
+        cell = float(onp.sqrt(area / MAX_GRID_CELLS))
     gx = int(onp.ceil((hi[0] - lo[0]) / cell)) + 1
     gy = int(onp.ceil((hi[1] - lo[1]) / cell)) + 1
     xs = lo[0] + (onp.arange(gx) + 0.5) * cell
@@ -481,27 +505,32 @@ def _build_spatial_grid(
     ).reshape(-1, 2)
 
     tree = cKDTree(verts)
+    n_cells = centers.shape[0]
+    # pre-filter: distant cells only ever need their single nearest lane
+    # (queries there are lane binding for stray agents, not overlap logic)
+    d1, i1 = tree.query(centers, k=1, workers=-1)
+    near = onp.flatnonzero(d1 <= 40.0)
+    chosen = onp.repeat(vert_lane[i1][:, None], k, axis=1).astype(onp.int64)
+
     # query enough vertices to find k distinct lanes (vertices cluster by lane)
     q = min(max(8 * k, 32), len(verts))
-    _, idx = tree.query(centers, k=q, workers=-1)
-    idx = onp.atleast_2d(idx)
-    lanes = vert_lane[idx]  # [Nc, q]
-
-    n_cells = centers.shape[0]
-    chosen = onp.full((n_cells, k), -1, onp.int64)
-    count = onp.zeros(n_cells, onp.int64)
-    rows = onp.arange(n_cells)
-    for j in range(lanes.shape[1]):
-        lane_j = lanes[:, j]
-        is_new = (chosen != lane_j[:, None]).all(1) & (count < k)
-        chosen[rows[is_new], count[is_new]] = lane_j[is_new]
-        count[is_new] += 1
-        if (count >= k).all():
-            break
-    # pad unfilled slots with the cell's nearest lane (never -1 when any lane
-    # exists) so gathers stay in-bounds and the candidate is at worst redundant
-    unfilled = chosen < 0
-    chosen = onp.where(unfilled, chosen[:, :1], chosen)
+    if len(near):
+        _, idx = tree.query(centers[near], k=q, workers=-1)
+        lanes = vert_lane[onp.atleast_2d(idx)]  # [Nn, q]
+        sub = onp.full((len(near), k), -1, onp.int64)
+        count = onp.zeros(len(near), onp.int64)
+        rows = onp.arange(len(near))
+        for j in range(lanes.shape[1]):
+            lane_j = lanes[:, j]
+            is_new = (sub != lane_j[:, None]).all(1) & (count < k)
+            sub[rows[is_new], count[is_new]] = lane_j[is_new]
+            count[is_new] += 1
+            if (count >= k).all():
+                break
+        # pad unfilled slots with the cell's nearest lane (never -1 when any
+        # lane exists) so gathers stay in-bounds / at worst redundant
+        sub = onp.where(sub < 0, sub[:, :1], sub)
+        chosen[near] = sub
     return (
         chosen.reshape(gy, gx, k).astype(onp.int32),
         lo.astype(onp.float32),

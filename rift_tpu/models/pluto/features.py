@@ -90,8 +90,14 @@ def build_features_for_agent(
         shape[order][:, None, :], (max_agents, HISTORY_STEPS, 2)
     )
     a_valid = hist_valid[order] & slot_valid[:, None]
+    # class -> pluto category: vehicle->VEHICLE, walker->PEDESTRIAN; statics
+    # keep VEHICLE (the reference folds barriers into the statics encoder,
+    # which we leave empty — a static box as a stopped vehicle is the
+    # conservative approximation). Slot 0 is the feature-center agent (EGO).
+    cls = state.agent_class[scenario][order]
+    category = jnp.where(cls == 1, CAT_PEDESTRIAN, CAT_VEHICLE)
     category = jnp.where(
-        jnp.arange(max_agents) == 0, CAT_EGO, CAT_VEHICLE
+        jnp.arange(max_agents) == 0, CAT_EGO, category
     ).astype(jnp.int32)
 
     # current state channels: x, y, heading = 0 in own frame;

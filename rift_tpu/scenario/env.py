@@ -27,7 +27,16 @@ from ..map.routing import (
     trace_route,
 )
 from ..map.tensor_map import TensorMap
-from ..sim.state import ScenarioSpec, SimState, init_sim_state_host
+from ..sim.state import (
+    CLASS_STATIC,
+    CLASS_WALKER,
+    DEFAULT_SHAPE,
+    STATIC_SHAPE,
+    WALKER_SHAPE,
+    ScenarioSpec,
+    SimState,
+    init_sim_state_host,
+)
 from ..sim.world import cbv_reached_goal, step as world_step
 from .criteria import CriteriaState, init_criteria, update_criteria
 from .recognition import (
@@ -99,6 +108,17 @@ def make_scenario_spec(
     )
     lane_chains = build_lane_chains(tmap, route_lane_mask)
 
+    # route-distance field per scenario (host Dijkstra, reset-rare)
+    from ..map.routing import route_distance_field
+
+    L = tmap.num_lanes
+    lane_route_dist = np.full((S, L), 1e9, np.float32)
+    lane_route_join = np.zeros((S, L), np.float32)
+    for i, path in enumerate(lane_paths):
+        D, J = route_distance_field(tmap, path)
+        lane_route_dist[i] = np.where(np.isfinite(D), D, 1e9)
+        lane_route_join[i] = np.where(np.isfinite(J), J, 0.0)
+
     return ScenarioSpec(
         ego_route=ego_route,
         ego_route_len=ego_route_len,
@@ -108,6 +128,8 @@ def make_scenario_spec(
         timeout_ticks=timeout,
         route_lane_mask=np.asarray(route_lane_mask),
         lane_chains=np.asarray(lane_chains),
+        lane_route_dist=lane_route_dist,
+        lane_route_join=lane_route_join,
     )
 
 
@@ -117,11 +139,19 @@ def spawn_agents(
     num_agents: int,
     rng: np.random.Generator,
     traffic_intensity: float = 0.6,
+    num_walkers: int = 0,
+    num_statics: int = 0,
 ) -> SimState:
     """Place the ego at each route start and background vehicles on lane
     points near the route (filter_spawn_points semantics,
     rift/gym_carla/utils/common.py:72-133: seeded sampling, spacing filter,
-    ego-clearance filter)."""
+    ego-clearance filter).
+
+    The last `num_walkers + num_statics` agent slots become crossing
+    pedestrians (patrolling perpendicular to the route) and static layout
+    obstacles at the lane edge — the collision classes the leaderboard
+    scores separately (atomic_criteria.py:289-423 blueprint dispatch,
+    penalties statistics_manager.py:27-44)."""
     S = int(spec.ego_route_len.shape[0])
     A = num_agents
     from ..map.routing import host_map
@@ -136,7 +166,17 @@ def spawn_agents(
     pos = np.zeros((S, A, 2), np.float32)
     heading = np.zeros((S, A), np.float32)
     alive = np.zeros((S, A), bool)
+    agent_class = np.zeros((S, A), np.int32)
+    shape = np.broadcast_to(
+        np.asarray(DEFAULT_SHAPE, np.float32), (S, A, 2)
+    ).copy()
+    speed0 = np.zeros((S, A), np.float32)
+    anchor = np.zeros((S, A, 2), np.float32)
     bits = rng.integers(0, 2**32, size=(S, A), dtype=np.uint32)
+
+    n_special = min(num_walkers + num_statics, max(A - 2, 0))
+    n_walkers = min(num_walkers, n_special)
+    n_statics = n_special - n_walkers
 
     for s in range(S):
         n = int(route_len[s])
@@ -145,6 +185,39 @@ def spawn_agents(
         heading[s, 0] = start[2]
         alive[s, 0] = True
         placed = [start[:2]]
+
+        # walkers: cross the route ahead of the ego, patrolling perpendicular
+        # to the road; statics: parked at the lane edge along the route
+        slot = A - n_special
+        for w in range(n_walkers):
+            wi = int(rng.integers(max(n // 4, 1), max(n - 10, 2)))
+            wp = ego_route[s, wi]
+            perp = wp[2] + np.pi / 2
+            lat = float(rng.uniform(4.0, 7.0)) * rng.choice([-1.0, 1.0])
+            pos[s, slot] = wp[:2] + lat * np.array(
+                [np.cos(perp), np.sin(perp)], np.float32
+            )
+            heading[s, slot] = perp + (np.pi if lat > 0 else 0.0)
+            speed0[s, slot] = float(rng.uniform(0.8, 1.6))
+            agent_class[s, slot] = CLASS_WALKER
+            shape[s, slot] = WALKER_SHAPE
+            anchor[s, slot] = pos[s, slot]
+            alive[s, slot] = True
+            slot += 1
+        for _ in range(n_statics):
+            wi = int(rng.integers(max(n // 3, 1), max(n - 10, 2)))
+            wp = ego_route[s, wi]
+            perp = wp[2] + np.pi / 2
+            lat = 2.2 * float(rng.choice([-1.0, 1.0]))
+            pos[s, slot] = wp[:2] + lat * np.array(
+                [np.cos(perp), np.sin(perp)], np.float32
+            )
+            heading[s, slot] = wp[2]
+            agent_class[s, slot] = CLASS_STATIC
+            shape[s, slot] = STATIC_SHAPE
+            alive[s, slot] = True
+            placed.append(pos[s, slot])
+            slot += 1
 
         # candidate spawn points: lane centerline vertices within 100 m of a
         # random subset of route waypoints
@@ -156,7 +229,8 @@ def spawn_agents(
         ).min(0)
         cand = np.flatnonzero(d < 100.0)
         rng.shuffle(cand)
-        n_bv = min(A - 1, int(traffic_intensity * (A - 1)) + 1)
+        n_veh = A - 1 - n_special
+        n_bv = min(n_veh, int(traffic_intensity * n_veh) + 1)
         k = 1
         for ci in cand:
             if k > n_bv:
@@ -183,7 +257,8 @@ def spawn_agents(
     lane = d2.argmin(-1).astype(np.int32)
 
     state = state.replace(pos=pos, heading=heading, alive=alive, lane=lane,
-                          bv_branch_bits=bits)
+                          bv_branch_bits=bits, agent_class=agent_class,
+                          shape=shape, speed=speed0, goal=anchor)
     state.hist_pos[:, :, -1] = pos
     state.hist_heading[:, :, -1] = heading
     state.hist_valid[:, :, -1] = alive
@@ -220,7 +295,7 @@ def env_step(
 
     # ---- ego control: rule ego unless a trajectory is provided
     if ego_traj is None:
-        ego_traj = rule_ego_waypoints(spec, state, dt)
+        ego_traj = rule_ego_waypoints(spec, state, dt, tmap=tmap)
     T = ego_traj.shape[-2]
     traj = jnp.zeros((S, A, T, 2))
     traj = traj.at[:, 0].set(ego_traj)
@@ -263,7 +338,7 @@ def env_step(
         dt=dt,
     )
 
-    crit = update_criteria(crit, state, spec, dt)
+    crit = update_criteria(crit, state, spec, dt, tmap=tmap)
 
     # ---- CBV churn (carla_env.py:431-462)
     reached = cbv_reached_goal(state)
@@ -311,12 +386,16 @@ class TrafficEnv:
         max_cbvs: int = 3,
         dt: float = 0.1,
         seed: int = 0,
+        num_walkers: int = 0,
+        num_statics: int = 0,
     ):
         self.tmap = tmap
         self.num_scenarios = num_scenarios
         self.num_agents = num_agents
         self.max_cbvs = max_cbvs
         self.dt = dt
+        self.num_walkers = num_walkers
+        self.num_statics = num_statics
         self.rng = np.random.default_rng(seed)
 
     def reset(self, routes=None, lane_paths=None):
@@ -329,7 +408,10 @@ class TrafficEnv:
         self.spec = jax.device_put(
             make_scenario_spec(self.tmap, routes, lane_paths)
         )
-        state = spawn_agents(self.tmap, self.spec, self.num_agents, self.rng)
+        state = spawn_agents(
+            self.tmap, self.spec, self.num_agents, self.rng,
+            num_walkers=self.num_walkers, num_statics=self.num_statics,
+        )
         crit = jax.device_put(init_criteria(self.num_scenarios, self.num_agents))
         return state, crit, self.spec
 

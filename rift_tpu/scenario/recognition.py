@@ -2,17 +2,19 @@
 
 Vectorized equivalent of the reference's recognition stack
 (rift/cbv/recognition/base_cbv.py:66-192 + rule_cbv.py:19-24): candidates are
-alive background vehicles 10-60 m from the ego, on-road, whose distance to
-some upcoming ego-route waypoint is comparable to the ego's own route
-distance to it (interaction-point matching). The reference runs an A* route
-query per candidate per waypoint; here the candidate's route distance is
-approximated by its Euclidean distance (a lower bound — same acceptance
-direction), so the whole test is one [A, W] tensor op.
+alive background vehicles 10-60 m from the ego, on-road, whose DRIVING
+distance to some upcoming ego-route waypoint is comparable to the ego's own
+route distance to it (interaction-point matching). The reference runs an A*
+route query per candidate per waypoint; here the reset-time route-distance
+field (ScenarioSpec.lane_route_dist/join, map/routing.py) turns each
+candidate's graph distance into two gathers:
+`d_cand(w) = (D[lane] - s_on_lane) + (w_s - J[lane])`.
 
 The closest matching candidates become CBVs (RuleCBVRecog semantics), each
-assigned a goal a fixed distance beyond its interaction waypoint (standing in
-for the CBV route planner's extended random route,
-rift/cbv/planning/route_planner/route_planner.py:162-215).
+assigned a goal ~GOAL_AHEAD m along its OWN precomputed lane chain — the
+extended random-road-option CBV route of the reference's planner
+(rift/cbv/planning/route_planner/route_planner.py:162-215), with the fork
+choice taken from the agent's branch bits.
 """
 
 from __future__ import annotations
@@ -26,10 +28,14 @@ from ..map.tensor_map import TensorMap
 from ..sim.state import ScenarioSpec, SimState
 
 MIN_EGO_DIST = 10.0
-MAX_EGO_DIST = 60.0
-INTERACTION_TOLERANCE = 15.0  # |d_cbv - d_ego| acceptance threshold (m)
-MAX_EGO_ROUTE_AHEAD = 80.0  # only match waypoints this far ahead of the ego
-GOAL_BEYOND_INTERACTION = 30.0  # goal placed this far past the interaction wp
+MAX_EGO_DIST = 60.0  # search_radius (rule.yaml)
+# |d_cbv - d_ego| acceptance threshold: min_interaction_dis_diff — 60 m in
+# train mode, 20 m in eval (rule.yaml:11,27)
+INTERACTION_TOLERANCE = 60.0
+INTERACTION_TOLERANCE_EVAL = 20.0
+MAX_EGO_ROUTE_AHEAD = 80.0  # max_ego_route_len waypoints (rule.yaml:13)
+GOAL_AHEAD = 150.0  # CBV goal distance along its own chain
+# (route_planner.py:162-215 extends the CBV route to >= 150 m)
 RECOG_WARMUP_TICKS = 25  # reference: no recognition before tick 25
 RECOG_INTERVAL = 2  # reference: every 2 ticks (carla_env.py:180-208)
 
@@ -66,19 +72,36 @@ def recognize_cbvs(
     d_ego = w_f - state.ego_route_cursor[:, None]  # [S, W']
     ahead = (d_ego >= 0) & (d_ego <= MAX_EGO_ROUTE_AHEAD) & route_valid
 
-    # candidate route-distance proxy
-    d_cbv = jnp.linalg.norm(
-        route_w[:, None] - state.pos[:, :, None], axis=-1
-    )  # [S, A, W']
+    # candidate DRIVING distance to each waypoint via the route-distance
+    # field: d_cand(w) = (D[lane] - s_on_lane) + (w_s - J[lane]); falls back
+    # to the Euclidean proxy when the spec carries no field
+    if spec.lane_route_dist is not None:
+        lane = jnp.maximum(state.lane, 0)  # [S, A]
+        s_on, _, _ = tmap.project(lane, state.pos)  # [S, A]
+        D = jnp.take_along_axis(spec.lane_route_dist, lane, axis=1)  # [S, A]
+        J = jnp.take_along_axis(spec.lane_route_join, lane, axis=1)
+        # waypoint arclength (1 m spacing -> index = meters)
+        d_cbv = (D - s_on)[..., None] + (w_f[:, None] - J[..., None])
+        reachable = (D < 1e8)[..., None] & (
+            w_f[:, None] >= J[..., None] - 1.0
+        ) & (d_cbv > -2.0)
+        d_cbv = jnp.where(reachable, jnp.maximum(d_cbv, 0.0), jnp.inf)
+    else:
+        d_cbv = jnp.linalg.norm(
+            route_w[:, None] - state.pos[:, :, None], axis=-1
+        )  # [S, A, W']
     mismatch = jnp.abs(d_cbv - d_ego[:, None])
-    mismatch = jnp.where(ahead[:, None], mismatch, jnp.inf)
+    mismatch = jnp.where(ahead[:, None] & jnp.isfinite(d_cbv), mismatch, jnp.inf)
     best_w_win = jnp.argmin(mismatch, axis=-1)  # [S, A] window index
     best_w = jnp.take_along_axis(w_abs, best_w_win, axis=-1)  # absolute index
     best_mismatch = jnp.min(mismatch, axis=-1)
+    best_mismatch = jnp.where(jnp.isfinite(best_mismatch), best_mismatch, jnp.inf)
 
     dist_ego = jnp.linalg.norm(state.pos - ego_pos[:, None], axis=-1)
     on_road = ~state.offroad
-    is_bv = state.alive & ~state.is_cbv
+    # only background *vehicles* are promotable (reference candidates come
+    # from the vehicle actor registry, base_cbv.py:66-192)
+    is_bv = state.alive & ~state.is_cbv & (state.agent_class == 0)
     is_bv = is_bv.at[:, 0].set(False)  # ego never a CBV
     candidate = (
         is_bv
@@ -98,19 +121,66 @@ def recognize_cbvs(
 
     new_is_cbv = state.is_cbv | promote
 
-    # goal: route waypoint GOAL_BEYOND_INTERACTION past the interaction point
-    goal_w = jnp.minimum(
-        best_w + jnp.int32(GOAL_BEYOND_INTERACTION),
-        spec.ego_route_len[:, None] - 1,
-    )
-    goal_pos = jnp.take_along_axis(
-        route, goal_w[..., None].repeat(2, -1), axis=1
-    )
+    # goal: ~GOAL_AHEAD m along the candidate's OWN lane chain (extended
+    # random-road-option CBV route; branch picked by the agent's fork bits)
+    if spec.lane_chains is not None:
+        goal_pos = _chain_goal(tmap, spec, state, GOAL_AHEAD)
+    else:
+        goal_w = jnp.minimum(
+            best_w + jnp.int32(30), spec.ego_route_len[:, None] - 1
+        )
+        goal_pos = jnp.take_along_axis(
+            route, goal_w[..., None].repeat(2, -1), axis=1
+        )
     goal = jnp.where(promote[..., None], goal_pos, state.goal)
     goal_valid = jnp.where(promote, True, state.goal_valid)
     interaction = jnp.where(promote, best_w, -1)
 
     return new_is_cbv, goal, goal_valid, interaction, promote
+
+
+def _chain_goal(tmap, spec, state, ahead: float) -> jnp.ndarray:
+    """[S, A, 2] goal point `ahead` meters along each agent's lane chain
+    (or the chain end when shorter)."""
+    S, A = state.alive.shape
+    lane = jnp.maximum(state.lane, 0)  # [S, A]
+    branch = (state.bv_branch_bits & 1).astype(jnp.int32)  # [S, A]
+    # chains: [S, L, 2, MC] -> per agent [S, A, MC]
+    chains = jax.vmap(lambda ch, l, b: ch[l, b])(
+        spec.lane_chains, lane, branch
+    )
+    ch = jnp.maximum(chains, 0)
+    lens = tmap.length[ch] * (chains >= 0)  # [S, A, MC]
+    s_on, _, _ = tmap.project(lane, state.pos)  # [S, A]
+    # cumulative distance from the agent to the END of each chain lane
+    cum = jnp.cumsum(lens, axis=-1) - s_on[..., None]
+    hit = cum >= ahead
+    idx = jnp.where(
+        hit.any(-1), jnp.argmax(hit, axis=-1), (chains >= 0).sum(-1) - 1
+    )
+    idx = jnp.maximum(idx, 0)
+    goal_lane = jnp.take_along_axis(ch, idx[..., None], axis=-1)[..., 0]
+    # distance from the agent to the START of the goal lane (the agent sits
+    # s_on past lane 0's start, so lane 0's start is -s_on "ahead")
+    cum_start = jnp.concatenate([-s_on[..., None], cum], axis=-1)
+    to_start = jnp.take_along_axis(cum_start, idx[..., None], axis=-1)[..., 0]
+    remaining = jnp.clip(ahead - to_start, 0.0, None)
+    frac = jnp.clip(
+        remaining / jnp.maximum(tmap.length[goal_lane], 1e-3), 0.0, 1.0
+    )
+    # centerline vertices are arclength-uniform -> fractional index
+    P = tmap.centerline.shape[1]
+    fi = frac * (P - 1)
+    i0 = jnp.clip(fi.astype(jnp.int32), 0, P - 2)
+    w = (fi - i0)[..., None]
+    cl = tmap.centerline[goal_lane]  # [S, A, P, 2]
+    p0 = jnp.take_along_axis(cl, i0[..., None, None].repeat(2, -1), axis=-2)[
+        ..., 0, :
+    ]
+    p1 = jnp.take_along_axis(
+        cl, (i0 + 1)[..., None, None].repeat(2, -1), axis=-2
+    )[..., 0, :]
+    return p0 * (1 - w) + p1 * w
 
 
 def attn_recognize_cbvs(

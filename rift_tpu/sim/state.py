@@ -18,6 +18,15 @@ from .pid import TrackerState
 HISTORY_STEPS = 21  # reference: 2 s history @ 10 fps + current frame
 DEFAULT_SHAPE = (2.0, 4.9)  # width, length — lincoln.mkz_2017-class sedan
 
+# agent classes (the reference distinguishes collision targets by blueprint:
+# vehicle.* / walker.* / static.*, atomic_criteria.py:289-423; penalties
+# differ per class, statistics_manager.py:27-44)
+CLASS_VEHICLE = 0
+CLASS_WALKER = 1
+CLASS_STATIC = 2
+WALKER_SHAPE = (0.7, 0.7)  # footprint of a pedestrian
+STATIC_SHAPE = (1.2, 1.8)  # small layout obstacle (e.g. parked trailer)
+
 
 @struct.dataclass
 class SimState:
@@ -33,6 +42,7 @@ class SimState:
     alive: jnp.ndarray  # [S, A] bool
     is_cbv: jnp.ndarray  # [S, A] bool (slot 0 never CBV)
     shape: jnp.ndarray  # [S, A, 2] width, length
+    agent_class: jnp.ndarray  # [S, A] int32 CLASS_VEHICLE/WALKER/STATIC
 
     # history ring (index -1 = most recent)
     hist_pos: jnp.ndarray  # [S, A, H, 2]
@@ -43,6 +53,11 @@ class SimState:
     # map binding
     lane: jnp.ndarray  # [S, A] int32 current lane index
     bv_branch_bits: jnp.ndarray  # [S, A] uint32 pseudo-random fork choices
+
+    # stop-sign memory (sim/stop_signs.py): zone membership last tick +
+    # halt latch (reset on zone entry, persists after exit)
+    in_stop_zone: jnp.ndarray  # [S, A] bool
+    stopped_at_stop: jnp.ndarray  # [S, A] bool
 
     # per-agent goal (CBV route planner), world frame
     goal: jnp.ndarray  # [S, A, 2]
@@ -91,6 +106,11 @@ class ScenarioSpec:
     # lane tables (None allowed for specs that never build planner features)
     route_lane_mask: jnp.ndarray | None = None  # [S, L] lane on ego route
     lane_chains: jnp.ndarray | None = None  # [S, L, 2, MAX_CHAIN] chains
+    # route-distance field (map/routing.py:route_distance_field): driving
+    # distance from each lane's start to the ego route + route arclength at
+    # the join — replaces the reference's per-candidate A* in recognition
+    lane_route_dist: jnp.ndarray | None = None  # [S, L] float32 (inf -> 1e9)
+    lane_route_join: jnp.ndarray | None = None  # [S, L] float32
 
 
 def init_sim_state(
@@ -139,12 +159,15 @@ def init_sim_state_host(
         shape=onp.broadcast_to(
             onp.asarray(DEFAULT_SHAPE, onp.float32), (S, A, 2)
         ).copy(),
+        agent_class=onp.zeros((S, A), onp.int32),
         hist_pos=onp.zeros((S, A, HISTORY_STEPS, 2), onp.float32),
         hist_heading=onp.zeros((S, A, HISTORY_STEPS), onp.float32),
         hist_vel=onp.zeros((S, A, HISTORY_STEPS, 2), onp.float32),
         hist_valid=onp.zeros((S, A, HISTORY_STEPS), bool),
         lane=onp.zeros((S, A), onp.int32),
         bv_branch_bits=onp.zeros((S, A), onp.uint32),
+        in_stop_zone=onp.zeros((S, A), bool),
+        stopped_at_stop=onp.zeros((S, A), bool),
         goal=onp.zeros((S, A, 2), onp.float32),
         goal_valid=onp.zeros((S, A), bool),
         tracker=TrackerState(speed=pid(), turn=pid()),

@@ -32,16 +32,20 @@ from .autopilot import (
 )
 from .dynamics import bicycle_step
 from .pid import track_step
-from .state import ScenarioSpec, SimState
+from .state import CLASS_STATIC, CLASS_WALKER, ScenarioSpec, SimState
+from .stop_signs import stop_target_speed, stop_zone_info, update_stop_memory
 from .traffic_lights import ego_red_light_entry, red_ahead
 
 GOAL_RADIUS = 3.0  # CBV reach-goal distance (route_planner.py reach check)
+WALKER_RANGE = 15.0  # walkers patrol within this radius of their anchor
 
 
-def autopilot_waypoints(
-    tmap: TensorMap, state: SimState, dt: float
+def autopilot_target_speed(
+    tmap: TensorMap, state: SimState, dt: float = 0.1
 ) -> jnp.ndarray:
-    """IDM lane-follow waypoints for every agent -> [S, A, N, 2] local frame."""
+    """Privileged IDM target speed per agent [S, A]: leader gap + speed
+    limit + red lights + stop signs. Doubles as the SFT/RS teacher signal
+    (the reference's AutoPilot target speed, sft/teacher/autopilot.py)."""
     leaders = find_leaders(
         state.pos, state.heading, state.speed, state.shape, state.alive
     )
@@ -50,6 +54,17 @@ def autopilot_waypoints(
     # stop for red lights at the approach stop line
     must_stop, _ = red_ahead(tmap, state.lane, state.pos, state.tick)
     v_target = jnp.where(must_stop, 0.0, v_target)
+    # stop signs: creep to the line, halt once, then proceed
+    return stop_target_speed(
+        tmap, state.lane, state.pos, state.stopped_at_stop, v_target
+    )
+
+
+def autopilot_waypoints(
+    tmap: TensorMap, state: SimState, dt: float
+) -> jnp.ndarray:
+    """IDM lane-follow waypoints for every agent -> [S, A, N, 2] local frame."""
+    v_target = autopilot_target_speed(tmap, state, dt)
     spacing = jnp.maximum(v_target * dt, 1e-3)
     return lane_follow_waypoints(
         tmap,
@@ -100,8 +115,32 @@ def step(
     new_pos, new_heading, new_speed = bicycle_step(
         state.pos, state.heading, state.speed, action, dt
     )
-    new_pos = jnp.where(state.alive[..., None], new_pos, state.pos)
-    new_heading = jnp.where(state.alive, new_heading, state.heading)
+
+    # walkers: constant-speed straight walk, bouncing inside a patrol
+    # corridor around their anchor (stored in `goal`) — the crossing
+    # pedestrians of CARLA scenarios without the walker AI controller
+    is_walker = state.agent_class == CLASS_WALKER
+    is_static = state.agent_class == CLASS_STATIC
+    walk_dir = jnp.stack(
+        [jnp.cos(state.heading), jnp.sin(state.heading)], axis=-1
+    )
+    walker_pos = state.pos + state.speed[..., None] * dt * walk_dir
+    from_anchor = walker_pos - state.goal
+    moving_away = jnp.sum(from_anchor * walk_dir, axis=-1) > 0.0
+    flip = (
+        (jnp.linalg.norm(from_anchor, axis=-1) > WALKER_RANGE) & moving_away
+    )
+    walker_heading = jnp.where(
+        flip, wrap_angle(state.heading + jnp.pi), state.heading
+    )
+    new_pos = jnp.where(is_walker[..., None], walker_pos, new_pos)
+    new_heading = jnp.where(is_walker, walker_heading, new_heading)
+    new_speed = jnp.where(is_walker, state.speed, new_speed)
+    # statics never move
+    frozen_agent = ~state.alive | is_static
+    new_pos = jnp.where(frozen_agent[..., None], state.pos, new_pos)
+    new_heading = jnp.where(frozen_agent, state.heading, new_heading)
+    new_speed = jnp.where(frozen_agent, jnp.where(is_static, 0.0, new_speed), new_speed)
     new_speed = jnp.where(state.alive, new_speed, 0.0)
 
     accel = (new_speed - state.speed) / dt
@@ -133,6 +172,12 @@ def step(
     red_entry = ego_red_light_entry(
         tmap, state.lane[:, 0], new_lane[:, 0], state.tick
     )
+    # stop-sign memory: zone membership + halt latch
+    _, in_zone_now, _ = stop_zone_info(tmap, new_lane, new_pos)
+    in_stop_zone, stopped_at_stop = update_stop_memory(
+        state.in_stop_zone, state.stopped_at_stop, in_zone_now, new_speed
+    )
+
     # advance fork bits when the lane actually changes so each junction gets
     # a fresh pseudo-random choice
     lane_changed = new_lane != state.lane
@@ -162,9 +207,9 @@ def step(
     )
 
     # ------------------------------------------------------------------
-    # 8. off-road
+    # 8. off-road (vehicles only — walkers legitimately leave the road)
     # ------------------------------------------------------------------
-    offroad = ~tmap.on_road(new_pos) & state.alive
+    offroad = ~tmap.on_road(new_pos) & state.alive & ~is_walker & ~is_static
 
     # ------------------------------------------------------------------
     # 9. ego route progress (1 m waypoint spacing -> nearest index ~ meters)
@@ -191,6 +236,8 @@ def step(
         hist_valid=hist_valid,
         lane=new_lane,
         bv_branch_bits=branch_bits,
+        in_stop_zone=in_stop_zone,
+        stopped_at_stop=stopped_at_stop,
         tracker=tracker,
         collision=collision,
         collided_with=collided_with,
