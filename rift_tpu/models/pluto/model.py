@@ -358,6 +358,10 @@ class PlutoModel(nn.Module):
     state_dropout: float = 0.75
     use_hidden_proj: bool = True
     ref_free_traj: bool = True
+    # state-value head on the center-agent token — the ppo_pluto variant's
+    # critic (reference ppo_trainer.py:126-184 adds a value head + GAE);
+    # off by default so converted pretrained checkpoints stay structural
+    value_head: bool = False
     # compute dtype: bf16 halves activation bandwidth / doubles MXU rate on
     # TPU; params and outputs stay float32
     dtype: Optional[jnp.dtype] = jnp.bfloat16
@@ -423,6 +427,11 @@ class PlutoModel(nn.Module):
             "probability": probability,  # (B, R, M)
             "prediction": prediction,  # (B, A-1, T, 6)
         }
+
+        if self.value_head:
+            out["value"] = MLPLayer(
+                self.dim, 1, name="value_head", dtype=self.dtype
+            )(x[:, 0])[..., 0].astype(jnp.float32)
 
         if self.use_hidden_proj:
             h = nn.Dense(self.dim, name="hidden_proj_fc1", dtype=self.dtype)(x[:, 0])

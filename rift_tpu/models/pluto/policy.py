@@ -141,6 +141,26 @@ def pluto_cbv_act(
     if train:
         prob = out["probability"].reshape(S, C, R, M)
 
+        # -------- executed-transition training signals ----------------
+        # critic value (ppo_pluto's value head; zeros when the model has none)
+        result["value"] = (
+            out["value"].reshape(S, C)
+            if "value" in out
+            else jnp.zeros((S, C))
+        )
+        # privileged teacher target speed (sft/rs signals: the reference's
+        # AutoPilot IDM target, sft/teacher/autopilot.py; rs_pluto.py:134-137)
+        from ...sim.world import autopilot_target_speed
+
+        v_teacher_all = autopilot_target_speed(tmap, state)  # [S, A]
+        result["teacher_speed"] = jnp.take_along_axis(
+            v_teacher_all, slot, axis=1
+        )
+        # desired speed implied by the executed trajectory (the PID tracker's
+        # desired speed = mean waypoint spacing / dt, pid_controller.py:57-76)
+        step_d = jnp.linalg.norm(jnp.diff(wp_sc[:, :, :10], axis=2), axis=-1)
+        result["exec_speed"] = step_d.mean(-1) / 0.1
+
         def one_adv(scenario, slot_, feats_one, traj_rm):
             nbr = _neighbor_states(state, scenario, slot_, NUM_NEIGHBORS)
             rl = feats_one["reference_line"]
@@ -164,9 +184,14 @@ def pluto_cbv_act(
         result["old_logits"] = prob
         result["advantage"] = adv["advantage"]
         result["adv_valid"] = adv["valid_mask"] & slot_valid[..., None, None]
+        result["rollout_return"] = adv["rollout_return"]
     else:
         result["old_logits"] = jnp.zeros((S, C, R, M))
         result["advantage"] = jnp.zeros((S, C, R, M))
         result["adv_valid"] = jnp.zeros((S, C, R, M), bool)
+        result["rollout_return"] = jnp.zeros((S, C, R, M))
+        result["value"] = jnp.zeros((S, C))
+        result["teacher_speed"] = jnp.zeros((S, C))
+        result["exec_speed"] = jnp.zeros((S, C))
 
     return result

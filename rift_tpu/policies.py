@@ -33,6 +33,7 @@ from .rl import (
     ring_reset,
     sft_loss,
 )
+from .rl.losses import masked_log_softmax, smooth_l1
 from .rl.classic import ClassicPPO, cbv_normal_obs, rl_action_to_control
 from .scenario import cbv_slot_assignment
 
@@ -126,14 +127,21 @@ class _FineTunedPluto(PlutoPolicy):
         self.train_rounds = 0
         self.ref_params = None  # frozen pretrain copy (GRPO)
 
+    # what lands in the ring buffer (rollout.rollout_chunk extras keys)
+    SAMPLE_KEYS = (
+        "old_logits", "advantage", "valid", "rollout_return", "chosen_idx",
+        "teacher_speed", "value", "reward", "ret", "ret_shaped", "gae",
+        "gae_valid",
+    )
+
     def store_chunk(self, extras):
         merge = lambda x: x.reshape((-1,) + x.shape[2:])
         samples = {
             "features": jax.tree.map(merge, extras["features"]),
-            "old_logits": merge(extras["old_logits"]),
-            "advantage": merge(extras["advantage"]),
-            "valid": merge(extras["valid"]),
         }
+        for k in self.SAMPLE_KEYS:
+            if k in extras:
+                samples[k] = merge(extras[k])
         if self.buffer is None:
             spec = jax.tree.map(lambda x: x[0], samples)
             self.buffer = ring_init(spec, capacity=self.buffer_capacity)
@@ -191,34 +199,66 @@ class GRPOPlutoPolicy(_FineTunedPluto):
         )
 
 
+def _candidate_speeds(trajectory: jnp.ndarray, dt: float = 0.1):
+    """[bs, R, M] desired speed each candidate implies: mean waypoint spacing
+    over the first second / dt (batch_control_pid desired-speed semantics,
+    pid_controller.py:102-155)."""
+    step_d = jnp.linalg.norm(
+        jnp.diff(trajectory[..., :10, :2], axis=-2), axis=-1
+    )
+    return step_d.mean(-1) / dt
+
+
+def _teacher_label(prob, r_pad, trajectory, teacher_speed):
+    """Flattened R*M teacher index (sft_trainer.py:182-215): keep the model's
+    best reference line, pick the mode whose implied speed is closest to the
+    privileged teacher's IDM target speed."""
+    bs, R, M = prob.shape
+    masked = jnp.where(r_pad[:, :, None], -1e8, prob).reshape(bs, -1)
+    best_r = jnp.argmax(masked, axis=-1) // M
+    cand_speed = _candidate_speeds(trajectory)  # [bs, R, M]
+    speed_at_r = jnp.take_along_axis(
+        cand_speed, best_r[:, None, None].repeat(M, -1), axis=1
+    )[:, 0]  # [bs, M]
+    m_idx = jnp.argmin(
+        jnp.abs(speed_at_r - teacher_speed[:, None]), axis=-1
+    )
+    return best_r * M + m_idx
+
+
 class ReinforcePlutoPolicy(_FineTunedPluto):
-    """'reinforce_pluto' — chosen-candidate log-prob x return. The return is
-    the evaluator's rollout return of the executed candidate (the on-device
-    stand-in for the reference's episodic discounted env return)."""
+    """'reinforce_pluto' — chosen-candidate log-prob x discounted episodic
+    env return (reinforce_trainer.py:120-170): the return is the
+    gamma=0.98-discounted sum of the executed transitions' dense env rewards
+    (chunk-truncated with critic bootstrap, rollout.py:_chunk_returns)."""
 
     name = "reinforce_pluto"
     type = "rlft"
+    RETURN_KEY = "ret"
 
     def _loss_fn(self, params, batch, rng):
         out = self.model.apply(params, batch["features"])
         r_pad = ~batch["features"]["reference_line"]["valid_mask"].any(-1)
-        prob = out["probability"]
-        bs, R, M = prob.shape
-        chosen = jnp.argmax(
-            jnp.where(batch["valid"], batch["old_logits"], -jnp.inf).reshape(bs, -1),
-            axis=-1,
+        return reinforce_loss(
+            out["probability"], r_pad, batch["chosen_idx"],
+            batch[self.RETURN_KEY],
         )
-        # z-scored advantage of the chosen candidate as the return signal
-        ret = jnp.take_along_axis(
-            batch["advantage"].reshape(bs, -1), chosen[:, None], axis=1
-        )[:, 0]
-        return reinforce_loss(prob, r_pad, chosen, ret)
+
+
+class RSPlutoPolicy(ReinforcePlutoPolicy):
+    """'rs_pluto' — REINFORCE on the SHAPED return: env reward +
+    0.2 * (-|teacher IDM target speed - executed desired speed|)
+    (rs_pluto.py:134-137, rs_datamodule.yaml reward_lambda)."""
+
+    name = "rs_pluto"
+    RETURN_KEY = "ret_shaped"
 
 
 class SFTPlutoPolicy(_FineTunedPluto):
-    """'sft_pluto' — cross-entropy to the privileged teacher's candidate.
-    Teacher label = candidate with the highest evaluator return (the
-    rule-expert scoring stand-in for fine_tuner/sft/teacher/autopilot.py)."""
+    """'sft_pluto' — cross-entropy to the privileged teacher's candidate:
+    best reference line + the mode whose implied speed matches the teacher's
+    IDM target speed (sft_trainer.py:123-215 generate_target_label; teacher
+    = sim/world.autopilot_target_speed, the AutoPilot-equivalent)."""
 
     name = "sft_pluto"
     type = "sft"
@@ -227,91 +267,93 @@ class SFTPlutoPolicy(_FineTunedPluto):
         out = self.model.apply(params, batch["features"])
         r_pad = ~batch["features"]["reference_line"]["valid_mask"].any(-1)
         bs = out["probability"].shape[0]
-        teacher = jnp.argmax(
-            jnp.where(batch["valid"], batch["advantage"], -jnp.inf).reshape(bs, -1),
-            axis=-1,
+        teacher = _teacher_label(
+            out["probability"], r_pad, out["trajectory"],
+            batch["teacher_speed"],
         )
-        return sft_loss(out["probability"], r_pad, teacher, batch["valid"].reshape(bs, -1).any(-1))
-
-
-class RSPlutoPolicy(ReinforcePlutoPolicy):
-    """'rs_pluto' — reward-shaped REINFORCE (same estimator, shaped signal)."""
-
-    name = "rs_pluto"
+        return sft_loss(
+            out["probability"], r_pad, teacher,
+            batch["valid"].reshape(bs, -1).any(-1),
+        )
 
 
 class RTRPlutoPolicy(_FineTunedPluto):
-    """'rtr_pluto' — RTR: PPO-clip on the executed candidate + teacher CE."""
+    """'rtr_pluto' — RTR: PPO-clip on the executed candidate (GAE advantage)
+    + teacher CE (rtr_trainer.py:130-173)."""
 
     name = "rtr_pluto"
     type = "sft"
     lambda_rl = 5.0
 
+    def _ppo_term(self, prob, r_pad, batch):
+        bs = prob.shape[0]
+        chosen = batch["chosen_idx"]
+        adv = jax.lax.stop_gradient(batch["gae"])
+        w = batch["gae_valid"].astype(jnp.float32)
+        old_lp = jnp.take_along_axis(
+            masked_log_softmax(batch["old_logits"], r_pad), chosen[:, None],
+            axis=1,
+        )[:, 0]
+        lp = masked_log_softmax(prob, r_pad)
+        cur_lp = jnp.take_along_axis(lp, chosen[:, None], axis=1)[:, 0]
+        ratio = jnp.exp(cur_lp - jax.lax.stop_gradient(old_lp))
+        obj = jnp.minimum(adv * ratio, adv * jnp.clip(ratio, 0.8, 1.2))
+        n = jnp.maximum(w.sum(), 1.0)
+        surrogate = jnp.sum(obj * w) / n
+        entropy = -jnp.sum(jnp.exp(lp) * jnp.maximum(lp, -1e6), axis=-1).mean()
+        return surrogate, entropy
+
     def _loss_fn(self, params, batch, rng):
         out = self.model.apply(params, batch["features"])
         r_pad = ~batch["features"]["reference_line"]["valid_mask"].any(-1)
         prob = out["probability"]
         bs = prob.shape[0]
-        flat_valid = batch["valid"].reshape(bs, -1)
-        chosen = jnp.argmax(
-            jnp.where(flat_valid, batch["old_logits"].reshape(bs, -1), -jnp.inf),
-            axis=-1,
+        surrogate, _ = self._ppo_term(prob, r_pad, batch)
+        teacher = _teacher_label(
+            prob, r_pad, out["trajectory"], batch["teacher_speed"]
         )
-        adv = jnp.take_along_axis(
-            batch["advantage"].reshape(bs, -1), chosen[:, None], axis=1
-        )[:, 0]
-        teacher = jnp.argmax(
-            jnp.where(flat_valid, batch["advantage"].reshape(bs, -1), -jnp.inf),
-            axis=-1,
+        teacher_ce = sft_loss(
+            prob, r_pad, teacher, batch["valid"].reshape(bs, -1).any(-1)
         )
-        from .rl import masked_log_softmax
-
-        old_lp = jnp.take_along_axis(
-            masked_log_softmax(batch["old_logits"], r_pad), chosen[:, None], axis=1
-        )[:, 0]
-        lp = masked_log_softmax(prob, r_pad)
-        cur_lp = jnp.take_along_axis(lp, chosen[:, None], axis=1)[:, 0]
-        ratio = jnp.exp(cur_lp - old_lp)
-        surrogate = jnp.minimum(
-            adv * ratio, adv * jnp.clip(ratio, 0.8, 1.2)
-        ).mean()
-        teacher_ce = sft_loss(prob, r_pad, teacher, flat_valid.any(-1))
         return -self.lambda_rl * surrogate + teacher_ce
 
 
 class PPOPlutoPolicy(RTRPlutoPolicy):
-    """'ppo_pluto' — PPO-clip on the executed candidate (no teacher term)."""
+    """'ppo_pluto' — actor-critic PPO: clipped surrogate on the executed
+    candidate with GAE(lambda) advantage, entropy bonus, and a SmoothL1
+    value loss on the critic head (ppo_trainer.py:126-184 +
+    ppo_datamodule.py GAE). The value head trains alongside pi_head."""
 
     name = "ppo_pluto"
     type = "rlft"
     lambda_rl = 1.0
+    VALUE_COEF = 0.5
+
+    def __init__(self, tmap, cfg=None, **kw):
+        super().__init__(tmap, cfg, **kw)
+        # rebuild the model with the critic head; widen the trainable set
+        self.model = PlutoModel(
+            encoder_depth=(cfg or {}).get("encoder_depth", 4),
+            decoder_depth=(cfg or {}).get("decoder_depth", 4),
+            value_head=True,
+        )
+        if "value_head" not in self.train_cfg.trainable_prefixes:
+            self.train_cfg = self.train_cfg.replace(
+                trainable_prefixes=tuple(self.train_cfg.trainable_prefixes)
+                + ("value_head",)
+            )
 
     def _loss_fn(self, params, batch, rng):
         out = self.model.apply(params, batch["features"])
         r_pad = ~batch["features"]["reference_line"]["valid_mask"].any(-1)
         prob = out["probability"]
-        bs = prob.shape[0]
-        flat_valid = batch["valid"].reshape(bs, -1)
-        chosen = jnp.argmax(
-            jnp.where(flat_valid, batch["old_logits"].reshape(bs, -1), -jnp.inf),
-            axis=-1,
-        )
-        adv = jnp.take_along_axis(
-            batch["advantage"].reshape(bs, -1), chosen[:, None], axis=1
-        )[:, 0]
-        from .rl import masked_log_softmax
-
-        old_lp = jnp.take_along_axis(
-            masked_log_softmax(batch["old_logits"], r_pad), chosen[:, None], axis=1
-        )[:, 0]
-        lp = masked_log_softmax(prob, r_pad)
-        cur_lp = jnp.take_along_axis(lp, chosen[:, None], axis=1)[:, 0]
-        entropy = -jnp.sum(jnp.exp(lp) * lp, axis=-1).mean()
-        ratio = jnp.exp(cur_lp - old_lp)
-        surrogate = jnp.minimum(
-            adv * ratio, adv * jnp.clip(ratio, 0.8, 1.2)
-        ).mean()
-        return -(surrogate + 0.01 * entropy)
+        surrogate, entropy = self._ppo_term(prob, r_pad, batch)
+        # critic regression target: GAE + V_old = lambda-return
+        target = jax.lax.stop_gradient(batch["gae"] + batch["value"])
+        w = batch["gae_valid"].astype(jnp.float32)
+        n = jnp.maximum(w.sum(), 1.0)
+        v_loss = jnp.sum(smooth_l1(out["value"], target) * w) / n
+        return -(surrogate + 0.01 * entropy) + self.VALUE_COEF * v_loss
 
 
 class ClassicCBVPolicy:
@@ -370,10 +412,45 @@ class ClassicCBVPolicy:
 
 
 class FREAPolicy(ClassicCBVPolicy):
+    """'frea' — in the reference this LOADS pretrained FREA weights (a
+    feasibility-aware PPO trained in the FREA repo; rl/frea.py:12-35 is
+    load-only). No weights ship with the repo, so without a
+    `cfg['weights']` checkpoint path this runs the same PPO architecture
+    from scratch and says so loudly."""
+
     name = "frea"
 
+    def __init__(self, tmap, cfg=None):
+        super().__init__(tmap, cfg)
+        path = (cfg or {}).get("weights", "")
+        if path:
+            self.load_weights(path)
+        else:
+            import warnings
 
-class FPPORsPolicy(ClassicCBVPolicy):
+            warnings.warn(
+                f"{self.name}: reference behavior is load-only pretrained "
+                "weights (rl/frea.py); none provided via cfg['weights'] — "
+                "running an untrained PPO net instead.",
+                stacklevel=2,
+            )
+
+    def load_weights(self, path):
+        """Restore pretrained actor/critic nets from a CheckpointManager dir
+        (the `model.torch_*` load of the reference, rl/frea.py:20-35)."""
+        from .utils.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(path)
+        restored, _ = mgr.restore(
+            self.ppo.params._asdict(), name=f"cbv_{self.name}"
+        )
+        if restored is not None:
+            self.ppo.params = self.ppo.params.__class__(**restored)
+
+
+class FPPORsPolicy(FREAPolicy):
+    """'fppo_rs' — same load-only contract as FREA (reference rl/frea.py)."""
+
     name = "fppo_rs"
 
 

@@ -106,6 +106,34 @@ def sparse_reward(collision, offroad, alpha_collision=15.0, alpha_boundary=15.0)
     return -alpha_collision * collision - alpha_boundary * offroad
 
 
+def executed_cbv_reward(tmap, state, slots):
+    """[S, C] dense reward of the EXECUTED transition for the CBV slots —
+    the env reward the reference stores per tick during fine-tune collection
+    (CBVFineTuneReward dense model on the real step, cbv_reward.py:96-249 +
+    reward_model.py:11-56). Lane-relative alignment stands in for the
+    reference-line projection; events come from the world tick."""
+    S = slots.shape[0]
+    s_ix = jnp.arange(S)[:, None]
+    sl = jnp.maximum(slots, 0)
+    pos = state.pos[s_ix, sl]
+    lane = state.lane[s_ix, sl]
+    _, lat, lane_hdg = tmap.project(lane, pos)
+    d_angle = jnp.abs(
+        jnp.angle(jnp.exp(1j * (state.heading[s_ix, sl] - lane_hdg)))
+    )
+    r = dense_reward(
+        jnp.abs(lat),
+        d_angle,
+        state.speed[s_ix, sl],
+        state.accel[s_ix, sl],
+        state.yaw_rate[s_ix, sl],
+        jnp.zeros_like(lat),
+        state.collision[s_ix, sl].astype(jnp.float32),
+        state.offroad[s_ix, sl].astype(jnp.float32),
+    )
+    return jnp.where(slots >= 0, r, 0.0)
+
+
 # --------------------------------------------------------------------------
 # Candidate re-tracking rollout (TrackPropagate.propagate spec)
 # --------------------------------------------------------------------------

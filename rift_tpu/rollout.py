@@ -5,6 +5,15 @@ The reference pays a CARLA RPC + Python round-trip per tick
 dispatch per step — through a tunneled TPU that is ~20 ms. `rollout_chunk`
 scans policy-act + env-step over `num_steps` ticks inside one jit, so
 dispatch cost amortizes and XLA can overlap the whole pipeline.
+
+Train mode also assembles, per step, the signals the fine-tune variants
+need (the reference's datamodules compute these over the rollout buffer):
+executed-transition env reward (cbv_reward.py dense model), teacher
+reward -|v_teacher - v_exec| (rs_pluto.py:134-137), per-slot done flags
+(churn/scenario end), and — post-scan — truncated-chunk discounted returns
+(gamma 0.98, compute_return in rs_datamodule.py:19-33) and GAE(lambda)
+with value bootstrap for the ppo_pluto critic. The last chunk step has no
+bootstrap value, so its GAE sample is marked invalid rather than biased.
 """
 
 from __future__ import annotations
@@ -16,9 +25,112 @@ import jax.numpy as jnp
 
 from .map.tensor_map import TensorMap
 from .models.pluto.policy import pluto_cbv_act
+from .rl.evaluator import GAMMA, executed_cbv_reward
 from .scenario.criteria import CriteriaState
 from .scenario.env import env_step
 from .sim.state import ScenarioSpec, SimState
+
+GAE_LAMBDA = 0.95
+TEACHER_LAMBDA = 0.2  # rs_datamodule.yaml reward_lambda
+
+
+def _chunk_returns(rewards, dones, values):
+    """[K, B] truncated discounted returns with last-value bootstrap and
+    GAE(lambda). Returns (ret, gae, gae_valid)."""
+    K = rewards.shape[0]
+    not_done = 1.0 - dones.astype(jnp.float32)
+
+    # discounted return: reverse scan, episode-segmented by dones,
+    # bootstrapped at the chunk end with the critic value
+    def ret_body(carry, xs):
+        r, nd = xs
+        carry = r + GAMMA * nd * carry
+        return carry, carry
+
+    boot = values[-1] * not_done[-1]
+    _, ret = jax.lax.scan(
+        ret_body, boot, (rewards[::-1], not_done[::-1])
+    )
+    ret = ret[::-1]
+
+    # GAE with one-step bootstrap; the final step has no V_{t+1} -> invalid
+    v_next = jnp.concatenate([values[1:], values[-1:]], axis=0)
+    delta = rewards + GAMMA * not_done * v_next - values
+
+    def gae_body(carry, xs):
+        d, nd = xs
+        carry = d + GAMMA * GAE_LAMBDA * nd * carry
+        return carry, carry
+
+    _, gae = jax.lax.scan(
+        gae_body, jnp.zeros_like(delta[-1]), (delta[::-1], not_done[::-1])
+    )
+    gae = gae[::-1]
+    gae_valid = jnp.concatenate(
+        [jnp.ones((K - 1,) + rewards.shape[1:], bool),
+         jnp.zeros((1,) + rewards.shape[1:], bool)],
+        axis=0,
+    )
+    return ret, gae, gae_valid
+
+
+def tick_extras(tmap, cbv_out, state_after, crit_after):
+    """Per-tick fine-tune sample (flattened [S*C]) from a policy act and the
+    post-step state — the un-fused twin of rollout_chunk's in-scan assembly
+    (for the generic host loops in run.py / runner.py)."""
+    from .rl.evaluator import executed_cbv_reward
+
+    slots = cbv_out["cbv_slots"]
+    S, C = slots.shape
+    flat = lambda x: x.reshape((S * C,) + x.shape[2:])
+    reward = executed_cbv_reward(tmap, state_after, slots)
+    teacher_reward = -jnp.abs(cbv_out["teacher_speed"] - cbv_out["exec_speed"])
+    s_ix = jnp.arange(S)[:, None]
+    sl = jnp.maximum(slots, 0)
+    still_cbv = state_after.is_cbv[s_ix, sl] & (slots >= 0)
+    done = ~still_cbv | crit_after.done[:, None]
+    return {
+        "features": jax.tree.map(flat, cbv_out["features"]),
+        "old_logits": flat(cbv_out["old_logits"]),
+        "advantage": flat(cbv_out["advantage"]),
+        "valid": flat(cbv_out["adv_valid"]),
+        "rollout_return": flat(cbv_out["rollout_return"]),
+        "chosen_idx": flat(cbv_out["chosen_idx"]),
+        "teacher_speed": flat(cbv_out["teacher_speed"]),
+        "value": flat(cbv_out["value"]),
+        "reward": flat(reward),
+        "reward_shaped": flat(reward + TEACHER_LAMBDA * teacher_reward),
+        "done": flat(done),
+        "sample_valid": flat(slots >= 0)
+        & flat(cbv_out["adv_valid"]).any(axis=(-2, -1)),
+    }
+
+
+def flush_pending(store_fn, pending: list):
+    """Stack per-tick samples -> [K, B] extras with returns/GAE, then store
+    via `store_fn` and clear the list."""
+    if not pending:
+        return
+    stack = {
+        k: (
+            jax.tree.map(lambda *xs: jnp.stack(xs), *[p[k] for p in pending])
+            if k == "features"
+            else jnp.stack([p[k] for p in pending])
+        )
+        for k in pending[0]
+    }
+    ret, gae_, gae_valid = _chunk_returns(
+        stack["reward"], stack["done"], stack["value"]
+    )
+    ret_shaped, _, _ = _chunk_returns(
+        stack["reward_shaped"], stack["done"], stack["value"]
+    )
+    stack["ret"] = ret
+    stack["ret_shaped"] = ret_shaped
+    stack["gae"] = gae_
+    stack["gae_valid"] = gae_valid & stack["sample_valid"]
+    store_fn(stack)
+    pending.clear()
 
 
 @partial(
@@ -40,8 +152,9 @@ def rollout_chunk(
     """Advance all scenarios `num_steps` ticks.
 
     Returns (state, crit, extras) where extras (train mode) stacks per-step
-    buffer samples with leading dim [num_steps]:
-      features, old_logits, advantage, adv_valid, sample_valid.
+    buffer samples with leading dim [num_steps]: features, old_logits,
+    advantage, valid, sample_valid, chosen_idx, teacher_speed, reward,
+    ret, ret_shaped, gae, gae_valid, value.
     """
 
     def body(carry, _):
@@ -50,30 +163,61 @@ def rollout_chunk(
             res = pluto_cbv_act(
                 model, params, tmap, spec, state, max_cbvs=max_cbvs, train=train
             )
-            state, crit = env_step(
+            new_state, new_crit = env_step(
                 tmap, spec, state, crit,
                 cbv_traj=res["traj"], cbv_traj_mask=res["mask"],
                 max_cbvs=max_cbvs,
             )
         else:
             res = None
-            state, crit = env_step(tmap, spec, state, crit, max_cbvs=max_cbvs)
+            new_state, new_crit = env_step(
+                tmap, spec, state, crit, max_cbvs=max_cbvs
+            )
         if train and res is not None:
             S, C = res["cbv_slots"].shape
             flat = lambda x: x.reshape((S * C,) + x.shape[2:])
+            slots = res["cbv_slots"]
+            # env reward of the executed transition (post-step state)
+            reward = executed_cbv_reward(tmap, new_state, slots)
+            teacher_reward = -jnp.abs(
+                res["teacher_speed"] - res["exec_speed"]
+            )
+            # done: slot's agent demoted/destroyed by churn or scenario over
+            s_ix = jnp.arange(S)[:, None]
+            sl = jnp.maximum(slots, 0)
+            still_cbv = new_state.is_cbv[s_ix, sl] & (slots >= 0)
+            done = ~still_cbv | new_crit.done[:, None]
             out = {
                 "features": jax.tree.map(flat, res["features"]),
                 "old_logits": flat(res["old_logits"]),
                 "advantage": flat(res["advantage"]),
                 "valid": flat(res["adv_valid"]),
-                "sample_valid": flat(res["cbv_slots"] >= 0)
+                "rollout_return": flat(res["rollout_return"]),
+                "chosen_idx": flat(res["chosen_idx"]),
+                "teacher_speed": flat(res["teacher_speed"]),
+                "value": flat(res["value"]),
+                "reward": flat(reward),
+                "reward_shaped": flat(reward + TEACHER_LAMBDA * teacher_reward),
+                "done": flat(done),
+                "sample_valid": flat(slots >= 0)
                 & flat(res["adv_valid"]).any(axis=(-2, -1)),
             }
         else:
             out = None
-        return (state, crit), out
+        return (new_state, new_crit), out
 
     (state, crit), extras = jax.lax.scan(
         body, (state, crit), None, length=num_steps
     )
+    if extras is not None:
+        ret, gae, gae_valid = _chunk_returns(
+            extras["reward"], extras["done"], extras["value"]
+        )
+        ret_shaped, _, _ = _chunk_returns(
+            extras["reward_shaped"], extras["done"], extras["value"]
+        )
+        extras["ret"] = ret
+        extras["ret_shaped"] = ret_shaped
+        extras["gae"] = gae
+        extras["gae_valid"] = gae_valid & extras["sample_valid"]
     return state, crit, extras

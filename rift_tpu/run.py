@@ -40,7 +40,7 @@ from .utils import enable_compilation_cache
 from .utils.checkpoint import CheckpointManager
 from .utils.config import apply_overrides, load_config
 
-PAD_ROUTE_LANES = 64  # fixed lane padding for per-route corridor maps
+PAD_ROUTE_LANES = 256  # fixed lane padding for per-route junction maps
 
 
 def build_map(args):
@@ -80,6 +80,9 @@ def _ego_act(ego, spec, state, train):
         return ego.act(spec, state)
 
 
+FLUSH_K = 16  # fine-tune extras window (returns/GAE horizon per flush)
+
+
 def run_episode(
     env, ego, cbv, state, crit, spec, max_ticks,
     train=False, on_tick=None,
@@ -87,29 +90,26 @@ def run_episode(
     """Generic tick loop. `on_tick(prev_state, state, crit, ego_out,
     cbv_out)` observes every transition (training collectors, data
     collection, rendering)."""
+    from .rollout import flush_pending, tick_extras
+
+    pending = []
+    store = getattr(cbv, "store_chunk", None)
     for _ in range(max_ticks):
         ego_out = _ego_act(ego, spec, state, train)
         cbv_out = cbv.act(spec, state, train=train)
         kw = _step_kwargs(ego_out, cbv_out)
         prev_state = state
         state, crit = env.step(state, crit, **kw)
-        if train and hasattr(cbv, "store_chunk") and "old_logits" in cbv_out:
-            S, C = cbv_out["cbv_slots"].shape
-            flat = lambda x: x.reshape((1, S * C) + x.shape[2:])
-            cbv.store_chunk(
-                {
-                    "features": jax.tree.map(flat, cbv_out["features"]),
-                    "old_logits": flat(cbv_out["old_logits"]),
-                    "advantage": flat(cbv_out["advantage"]),
-                    "valid": flat(cbv_out["adv_valid"]),
-                    "sample_valid": flat(cbv_out["cbv_slots"] >= 0)
-                    & flat(cbv_out["adv_valid"]).any(axis=(-2, -1)),
-                }
-            )
+        if train and store is not None and "old_logits" in cbv_out:
+            pending.append(tick_extras(env.tmap, cbv_out, state, crit))
+            if len(pending) >= FLUSH_K:
+                flush_pending(store, pending)
         if on_tick is not None:
             on_tick(prev_state, state, crit, ego_out, cbv_out)
         if env.all_done(crit):
             break
+    if store is not None:
+        flush_pending(store, pending)
     return state, crit
 
 

@@ -108,14 +108,11 @@ class Runner:
         self.env.spec = spec = self._shard_scenario(spec)
         return state, crit, spec
 
-    def _init_buffer(self, old_logits_shape):
-        spec = {
-            "features": self._feat_template,
-            "old_logits": jnp.zeros(old_logits_shape),
-            "advantage": jnp.zeros(old_logits_shape),
-            "valid": jnp.zeros(old_logits_shape, bool),
-        }
-        self.buffer = ring_init(spec, capacity=self.cfg.buffer_capacity)
+    SAMPLE_KEYS = (
+        "old_logits", "advantage", "valid", "rollout_return", "chosen_idx",
+        "teacher_speed", "value", "reward", "ret", "ret_shaped", "gae",
+        "gae_valid",
+    )
 
     # ------------------------------------------------------------------
     def run_episode(self, train: bool = False, collect=None, chunk: int = 10):
@@ -133,19 +130,26 @@ class Runner:
             self.env.spec = spec = self._shard_scenario(spec)
 
         if collect is not None:
+            from .rollout import flush_pending, tick_extras
+
+            pending = []
             for _ in range(self.cfg.max_episode_ticks):
                 res = pluto_cbv_act(
                     self.model, self.params, self.tmap, spec, state,
                     max_cbvs=self.cfg.max_cbvs, train=train,
                 )
-                if train and bool(res["mask"].any()):
-                    self._store(res)
                 collect(state, res)
                 state, crit = self.env.step(
                     state, crit, cbv_traj=res["traj"], cbv_traj_mask=res["mask"]
                 )
+                if train and bool(res["mask"].any()):
+                    pending.append(tick_extras(self.tmap, res, state, crit))
+                    if len(pending) >= 16:
+                        flush_pending(self._store_chunk_flat, pending)
                 if self.env.all_done(crit):
                     break
+            if train:
+                flush_pending(self._store_chunk_flat, pending)
         else:
             from .rollout import rollout_chunk
 
@@ -165,32 +169,18 @@ class Runner:
     def _store_chunk(self, extras):
         """Append [K, B, ...] stacked chunk samples to the ring buffer."""
         merge = lambda x: x.reshape((-1,) + x.shape[2:])
-        samples = {
-            "features": jax.tree.map(merge, extras["features"]),
-            "old_logits": merge(extras["old_logits"]),
-            "advantage": merge(extras["advantage"]),
-            "valid": merge(extras["valid"]),
-        }
-        sample_valid = merge(extras["sample_valid"])
+        samples = {"features": jax.tree.map(merge, extras["features"])}
+        for k in self.SAMPLE_KEYS:
+            if k in extras:
+                samples[k] = merge(extras[k])
         if self.buffer is None:
-            self._init_buffer(extras["old_logits"].shape[2:])
-        self.buffer = ring_append(self.buffer, samples, sample_valid)
-
-    def _store(self, res):
-        S, C = res["cbv_slots"].shape
-        flat = lambda x: x.reshape((S * C,) + x.shape[2:])
-        samples = {
-            "features": jax.tree.map(flat, res["features"]),
-            "old_logits": flat(res["old_logits"]),
-            "advantage": flat(res["advantage"]),
-            "valid": flat(res["adv_valid"]),
-        }
-        sample_valid = flat(res["cbv_slots"] >= 0) & samples["valid"].any(
-            axis=(-2, -1)
+            spec = jax.tree.map(lambda x: x[0], samples)
+            self.buffer = ring_init(spec, capacity=self.cfg.buffer_capacity)
+        self.buffer = ring_append(
+            self.buffer, samples, merge(extras["sample_valid"])
         )
-        if self.buffer is None:
-            self._init_buffer(res["old_logits"].shape[2:])
-        self.buffer = ring_append(self.buffer, samples, sample_valid)
+
+    _store_chunk_flat = _store_chunk  # flush_pending callback alias
 
     # ------------------------------------------------------------------
     def train_cbv(self, num_episodes: int = 10):
