@@ -7,6 +7,7 @@ start in seconds. Call once before building any jitted program.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import jax
@@ -14,8 +15,26 @@ import jax
 DEFAULT_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache")
 
 
+def _host_fingerprint() -> str:
+    """Short hash of the host CPU feature set. XLA:CPU AOT cache entries are
+    not keyed by the compile machine's ISA extensions, so an entry written on
+    an AMX/AVX-512 host segfaults (SIGILL) when loaded on a lesser one —
+    namespacing the cache directory per CPU fingerprint makes reuse safe."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
     path = os.path.abspath(cache_dir or DEFAULT_CACHE_DIR)
+    path = os.path.join(path, _host_fingerprint())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
