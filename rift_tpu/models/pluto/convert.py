@@ -155,14 +155,29 @@ def _mlp_layer(sd, key):
 
 
 def _fourier(sd, key, channels):
-    out = {"freqs": sd.pop(key + ".freqs.weight")}
-    for i in range(channels):
-        out[f"mlp{i}_fc1"] = {"kernel": _linear_kernel(sd, f"{key}.mlps.{i}.0"),
-                              "bias": _linear_bias(sd, f"{key}.mlps.{i}.0")}
-        out[f"mlp{i}_ln"] = {"scale": sd.pop(f"{key}.mlps.{i}.1.weight"),
-                             "bias": sd.pop(f"{key}.mlps.{i}.1.bias")}
-        out[f"mlp{i}_fc2"] = {"kernel": _linear_kernel(sd, f"{key}.mlps.{i}.3"),
-                              "bias": _linear_bias(sd, f"{key}.mlps.{i}.3")}
+    """Per-channel MLPs stack into [C, ...] einsum params (layers.py
+    FourierEmbedding runs all channels in one kernel)."""
+    out = {
+        "freqs": sd.pop(key + ".freqs.weight"),
+        "w1": np.stack(
+            [_linear_kernel(sd, f"{key}.mlps.{i}.0") for i in range(channels)]
+        ),
+        "b1": np.stack(
+            [_linear_bias(sd, f"{key}.mlps.{i}.0") for i in range(channels)]
+        ),
+        "ln_scale": np.stack(
+            [sd.pop(f"{key}.mlps.{i}.1.weight") for i in range(channels)]
+        ),
+        "ln_bias": np.stack(
+            [sd.pop(f"{key}.mlps.{i}.1.bias") for i in range(channels)]
+        ),
+        "w2": np.stack(
+            [_linear_kernel(sd, f"{key}.mlps.{i}.3") for i in range(channels)]
+        ),
+        "b2": np.stack(
+            [_linear_bias(sd, f"{key}.mlps.{i}.3") for i in range(channels)]
+        ),
+    }
     out["out_ln"] = {"scale": sd.pop(key + ".to_out.0.weight"),
                      "bias": sd.pop(key + ".to_out.0.bias")}
     out["out_fc"] = {"kernel": _linear_kernel(sd, key + ".to_out.2"),
@@ -232,9 +247,12 @@ def _state_attention(sd, key, state_channel=6, num_heads=4):
         "query": sd.pop(key + ".query"),
         "Attention_0": _mha(sd, key + ".attn", num_heads),
     }
-    for i in range(state_channel):
-        out[f"proj{i}"] = {"kernel": _linear_kernel(sd, f"{key}.linears.{i}"),
-                           "bias": _linear_bias(sd, f"{key}.linears.{i}")}
+    out["proj_w"] = np.stack(
+        [_linear_kernel(sd, f"{key}.linears.{i}") for i in range(state_channel)]
+    )
+    out["proj_b"] = np.stack(
+        [_linear_bias(sd, f"{key}.linears.{i}") for i in range(state_channel)]
+    )
     return out
 
 

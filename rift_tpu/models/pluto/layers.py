@@ -46,24 +46,38 @@ class FourierEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # x: (..., C)
+        # x: (..., C). Per-channel MLPs run as channel-stacked einsums (one
+        # kernel for all C channels instead of a C-long Python loop of tiny
+        # Dense/LN ops — the embedders dominate the forward at these sizes).
         C = x.shape[-1]
-        freqs = self.param(
-            "freqs", nn.initializers.normal(1.0), (C, self.num_freq_bands)
+        F = self.num_freq_bands
+        D = self.dim
+        freqs = self.param("freqs", nn.initializers.normal(1.0), (C, F))
+        w1 = self.param(
+            "w1", nn.initializers.lecun_normal(batch_axis=(0,)), (C, 2 * F + 1, D)
         )
+        b1 = self.param("b1", nn.initializers.zeros, (C, D))
+        ln_scale = self.param("ln_scale", nn.initializers.ones, (C, D))
+        ln_bias = self.param("ln_bias", nn.initializers.zeros, (C, D))
+        w2 = self.param(
+            "w2", nn.initializers.lecun_normal(batch_axis=(0,)), (C, D, D)
+        )
+        b2 = self.param("b2", nn.initializers.zeros, (C, D))
+
+        dt = self.dtype or jnp.float32
         phased = x[..., None] * freqs * 2 * jnp.pi  # (..., C, F)
         feats = jnp.concatenate(
             [jnp.cos(phased), jnp.sin(phased), x[..., None]], axis=-1
-        )  # (..., C, 2F+1)
-        out = 0.0
-        for i in range(C):
-            h = nn.Dense(self.dim, name=f"mlp{i}_fc1", dtype=self.dtype)(
-                feats[..., i, :]
-            )
-            h = nn.LayerNorm(epsilon=1e-5, name=f"mlp{i}_ln", dtype=self.dtype)(h)
-            h = nn.relu(h)
-            h = nn.Dense(self.dim, name=f"mlp{i}_fc2", dtype=self.dtype)(h)
-            out = out + h
+        ).astype(dt)  # (..., C, 2F+1)
+        h = jnp.einsum("...cf,cfd->...cd", feats, w1.astype(dt)) + b1.astype(dt)
+        # per-channel LayerNorm over d
+        h32 = h.astype(jnp.float32)
+        mu = h32.mean(-1, keepdims=True)
+        var = h32.var(-1, keepdims=True)
+        h = ((h32 - mu) * jax.lax.rsqrt(var + 1e-5)).astype(dt)
+        h = h * ln_scale.astype(dt) + ln_bias.astype(dt)
+        h = nn.relu(h)
+        out = jnp.einsum("...cd,cde->...e", h, w2.astype(dt)) + b2.sum(0).astype(dt)
         out = nn.LayerNorm(epsilon=1e-5, name="out_ln", dtype=self.dtype)(out)
         out = nn.relu(out)
         return nn.Dense(self.dim, name="out_fc", dtype=self.dtype)(out)
@@ -141,8 +155,61 @@ class DropPath(nn.Module):
         return drop_path(x, self.rate, deterministic, rng)
 
 
+class _PackedProj(nn.Module):
+    """Dense projection with DenseGeneral-compatible params (kernel
+    [in, H, Dh], bias [H, Dh]) but a PACKED [.., H*Dh] output — the
+    [.., T, H, Dh] layout pads Dh to 128 lanes in HBM (8x waste at Dh=16)."""
+
+    num_heads: int
+    head_dim: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        H, Dh = self.num_heads, self.head_dim
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(in_axis=0, out_axis=(1, 2)),
+            (x.shape[-1], H, Dh),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (H, Dh))
+        dt = self.dtype or jnp.float32
+        return (
+            x.astype(dt) @ kernel.reshape(x.shape[-1], H * Dh).astype(dt)
+            + bias.reshape(H * Dh).astype(dt)
+        )
+
+
+class _PackedOut(nn.Module):
+    """Output projection, DenseGeneral(axis=(-2,-1))-compatible params
+    (kernel [H, Dh, out], bias [out]) taking packed [.., H*Dh] input."""
+
+    num_heads: int
+    head_dim: int
+    out_dim: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        H, Dh = self.num_heads, self.head_dim
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(in_axis=(0, 1), out_axis=2),
+            (H, Dh, self.out_dim),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+        dt = self.dtype or jnp.float32
+        return (
+            x.astype(dt) @ kernel.reshape(H * Dh, self.out_dim).astype(dt)
+            + bias.astype(dt)
+        )
+
+
 class Attention(nn.Module):
-    """Multi-head attention with optional key-padding / band masks."""
+    """Multi-head attention with optional key-padding / band masks.
+
+    Q/K/V stay packed [.., T, D] end to end; on TPU the core runs as one
+    fused Pallas kernel (ops/attention.py) — head split, QK^T, bias, f32
+    softmax and AV never touch HBM. Param tree matches torch MHA via the
+    converter (kernel [D, H, Dh] / [H, Dh, D])."""
 
     dim: int
     num_heads: int
@@ -160,39 +227,74 @@ class Attention(nn.Module):
         k=None,
         v=None,
         key_padding_mask: Optional[jnp.ndarray] = None,  # (..., Nk) True=pad
-        attn_bias: Optional[jnp.ndarray] = None,  # broadcastable to (..., H, Nq, Nk)
+        attn_bias: Optional[jnp.ndarray] = None,  # (Nq, Nk) or (H, Nq, Nk)
         deterministic: bool = True,
     ):
+        from ...ops.attention import NEG_INF, fused_attention
+
         k = q if k is None else k
         v = k if v is None else v
         H = self.num_heads
         Dh = self.dim // H
-        qh = nn.DenseGeneral((H, Dh), name="q", dtype=self.dtype)(q)
-        kh = nn.DenseGeneral((H, Dh), name="k", dtype=self.dtype)(k)
-        vh = nn.DenseGeneral((H, Dh), name="v", dtype=self.dtype)(v)
-        logits = jnp.einsum("...qhd,...khd->...hqk", qh, kh) / jnp.sqrt(Dh)
-        logits = logits.astype(jnp.float32)  # stable softmax
+        Tq, _ = q.shape[-2:]
+        Tk = k.shape[-2]
+        lead = q.shape[:-2]
+
+        qp = _PackedProj(H, Dh, name="q", dtype=self.dtype)(q)
+        kp = _PackedProj(H, Dh, name="k", dtype=self.dtype)(k)
+        vp = _PackedProj(H, Dh, name="v", dtype=self.dtype)(v)
+
+        bias = jnp.zeros((H, Tq, Tk), jnp.float32)
         if self.rel_pos_window > 0:
             w = self.rel_pos_window
             rpb = self.param(
                 "rpb", nn.initializers.zeros, (H, 2 * w - 1)
             )  # relative offsets -(w-1)..(w-1)
-            n = q.shape[-2]
-            i = jnp.arange(n)
+            i = jnp.arange(Tq)
             rel = jnp.clip(i[None, :] - i[:, None] + (w - 1), 0, 2 * w - 2)
-            logits = logits + rpb[:, rel]
+            bias = bias + rpb[:, rel]
         if attn_bias is not None:
-            logits = logits + attn_bias
+            bias = bias + jnp.broadcast_to(
+                attn_bias.astype(jnp.float32), (H, Tq, Tk)
+            )
         if key_padding_mask is not None:
-            pad = key_padding_mask[..., None, None, :]  # (..., 1, 1, Nk)
-            logits = jnp.where(pad, -1e9, logits)
-        w = nn.softmax(logits, axis=-1)
-        if self.dtype is not None:
-            w = w.astype(self.dtype)
+            kpad_add = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(
+                jnp.float32
+            )
+            kpad_add = jnp.broadcast_to(kpad_add, lead + (Tk,))
+        else:
+            kpad_add = jnp.zeros(lead + (Tk,), jnp.float32)
+
+        B = 1
+        for d in lead:
+            B *= d
+        qf = qp.reshape(B, Tq, H * Dh)
+        kf = kp.reshape(B, Tk, H * Dh)
+        vf = vp.reshape(B, Tk, H * Dh)
+        pf = kpad_add.reshape(B, Tk)
+
         if self.dropout > 0.0 and not deterministic:
-            w = nn.Dropout(self.dropout)(w, deterministic=False)
-        out = jnp.einsum("...hqk,...khd->...qhd", w, vh)
-        return nn.DenseGeneral(self.dim, axis=(-2, -1), name="out", dtype=self.dtype)(out)
+            # train-time attention dropout needs the weight matrix — use the
+            # XLA path and drop there
+            Dh_ = Dh
+            qh = qf.reshape(B, Tq, H, Dh_)
+            kh = kf.reshape(B, Tk, H, Dh_)
+            vh = vf.reshape(B, Tk, H, Dh_)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(
+                jnp.float32
+            ) / jnp.sqrt(Dh_)
+            logits = logits + bias[None] + pf[:, None, None, :]
+            wgt = nn.softmax(logits, axis=-1)
+            if self.dtype is not None:
+                wgt = wgt.astype(self.dtype)
+            wgt = nn.Dropout(self.dropout)(wgt, deterministic=False)
+            out = jnp.einsum("bhqk,bkhd->bqhd", wgt, vh).reshape(
+                B, Tq, H * Dh_
+            )
+        else:
+            out = fused_attention(qf, kf, vf, bias, pf, H)
+        out = out.reshape(lead + (Tq, H * Dh))
+        return _PackedOut(H, Dh, self.dim, name="out", dtype=self.dtype)(out)
 
 
 class TransformerEncoderLayer(nn.Module):
@@ -331,15 +433,20 @@ class StateAttentionEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        # x: (B, state_channel)
-        tokens = []
-        for i in range(self.state_channel):
-            tokens.append(
-                nn.Dense(self.dim, name=f"proj{i}", dtype=self.dtype)(
-                    x[..., i : i + 1]
-                )
-            )
-        h = jnp.stack(tokens, axis=-2)  # (B, C, dim)
+        # x: (B, state_channel). Per-channel 1->dim projections as one
+        # stacked broadcast-multiply instead of C tiny Dense ops.
+        C = self.state_channel
+        dt = self.dtype or jnp.float32
+        proj_w = self.param(
+            "proj_w",
+            nn.initializers.lecun_normal(in_axis=1, out_axis=2, batch_axis=(0,)),
+            (C, 1, self.dim),
+        )
+        proj_b = self.param("proj_b", nn.initializers.zeros, (C, self.dim))
+        h = (
+            x[..., None].astype(dt) * proj_w[:, 0].astype(dt)
+            + proj_b.astype(dt)
+        )  # (B, C, dim)
         pos = self.param(
             "pos_embed", nn.initializers.normal(0.02), (1, self.state_channel, self.dim)
         )

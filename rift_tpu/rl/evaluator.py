@@ -174,7 +174,12 @@ def rollout_candidates(
         return (npos, nheading, nspeed, tracker, nclosest), (npos, nheading, nspeed)
 
     init = (pos0, heading0, speed0, tracker0, jnp.zeros(G, jnp.int32))
-    _, (ps, hs, vs) = jax.lax.scan(body, init, None, length=num_frames - 1)
+    # closed-loop tracking is inherently sequential; full unroll fuses the
+    # ~15 tiny ops/step across iterations instead of paying per-step
+    # dispatch overhead 39 times
+    _, (ps, hs, vs) = jax.lax.scan(
+        body, init, None, length=num_frames - 1, unroll=True
+    )
     center = jnp.concatenate([pos0[:, None], jnp.moveaxis(ps, 0, 1)], axis=1)
     heading = jnp.concatenate([heading0[:, None], jnp.moveaxis(hs, 0, 1)], axis=1)
     speed = jnp.concatenate([speed0[:, None], jnp.moveaxis(vs, 0, 1)], axis=1)
@@ -239,7 +244,7 @@ def forecast_neighbors(
         return (np_, nh, nv), (np_, nh, nv)
 
     _, (ps, hs, vs) = jax.lax.scan(
-        body, (pos, heading, speed), None, length=num_frames
+        body, (pos, heading, speed), None, length=num_frames, unroll=True
     )
     centers = jnp.moveaxis(ps, 0, 1)  # [N, Tr, 2]
     headings = jnp.moveaxis(hs, 0, 1)

@@ -38,3 +38,69 @@ def test_dispatch_runs_on_default_backend():
     pts, cl = _data(n=8, l=6)
     out = lane_min_dist2(pts, cl)
     np.testing.assert_allclose(np.asarray(out), _reference(pts, cl), rtol=1e-4, atol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# Fused attention kernel (ops/attention.py)
+# ---------------------------------------------------------------------------
+from rift_tpu.ops.attention import (
+    NEG_INF,
+    fused_attention_pallas,
+    fused_attention_xla,
+)
+
+
+def _attn_data(b=12, tq=12, tk=12, d=64, h=4, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(b, tq, d)).astype(np.float32), dtype)
+    k = jnp.asarray(rng.normal(size=(b, tk, d)).astype(np.float32), dtype)
+    v = jnp.asarray(rng.normal(size=(b, tk, d)).astype(np.float32), dtype)
+    bias = jnp.asarray(rng.normal(size=(h, tq, tk)).astype(np.float32))
+    pad = jnp.asarray(
+        np.where(rng.uniform(size=(b, tk)) < 0.3, NEG_INF, 0.0).astype(np.float32)
+    )
+    # keep at least one unmasked key per row
+    pad = pad.at[:, 0].set(0.0)
+    return q, k, v, bias, pad
+
+
+def _attn_reference(q, k, v, bias, pad, h):
+    b, tq, d = q.shape
+    tk = k.shape[1]
+    dh = d // h
+    qh = np.asarray(q, np.float32).reshape(b, tq, h, dh)
+    kh = np.asarray(k, np.float32).reshape(b, tk, h, dh)
+    vh = np.asarray(v, np.float32).reshape(b, tk, h, dh)
+    logits = np.einsum("bqhd,bkhd->bhqk", qh, kh) / np.sqrt(dh)
+    logits = logits + np.asarray(bias)[None] + np.asarray(pad)[:, None, None, :]
+    logits -= logits.max(-1, keepdims=True)
+    w = np.exp(logits)
+    w /= w.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bkhd->bqhd", w, vh).reshape(b, tq, d)
+
+
+def test_attention_xla_matches_reference():
+    q, k, v, bias, pad = _attn_data()
+    out = fused_attention_xla(q, k, v, bias, pad, 4)
+    np.testing.assert_allclose(
+        np.asarray(out), _attn_reference(q, k, v, bias, pad, 4), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_attention_pallas_interpret_matches_reference():
+    # odd batch (padding path), cross-attention (tq != tk), head_dim 16
+    q, k, v, bias, pad = _attn_data(b=37, tq=5, tk=20, d=32, h=2, seed=1)
+    out = fused_attention_pallas(q, k, v, bias, pad, 2, interpret=True)
+    assert out.shape == q.shape
+    np.testing.assert_allclose(
+        np.asarray(out), _attn_reference(q, k, v, bias, pad, 2), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_attention_pallas_interpret_bf16():
+    q, k, v, bias, pad = _attn_data(b=16, tq=12, tk=12, d=128, h=4, dtype=jnp.bfloat16)
+    out = fused_attention_pallas(q, k, v, bias, pad, 4, interpret=True)
+    ref = _attn_reference(q, k, v, bias, pad, 4)
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32), ref, rtol=0.1, atol=0.1
+    )
