@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ...map.tensor_map import TensorMap
-from ...rl.evaluator import NUM_FRAMES, grpo_advantage
+from ...rl.evaluator import NUM_FRAMES, grpo_advantage_batched
 from ...scenario.recognition import cbv_slot_assignment
 from ...sim.state import ScenarioSpec, SimState
 from .features import build_cbv_features
@@ -161,26 +161,31 @@ def pluto_cbv_act(
         step_d = jnp.linalg.norm(jnp.diff(wp_sc[:, :, :10], axis=2), axis=-1)
         result["exec_speed"] = step_d.mean(-1) / 0.1
 
-        def one_adv(scenario, slot_, feats_one, traj_rm):
-            nbr = _neighbor_states(state, scenario, slot_, NUM_NEIGHBORS)
-            rl = feats_one["reference_line"]
-            return grpo_advantage(
-                tmap,
-                traj_rm,
-                rl["valid_mask"].any(-1),
-                rl["position"],
-                rl["orientation"],
-                rl["valid_mask"],
-                state.pos[scenario, slot_],
-                state.heading[scenario, slot_],
-                state.speed[scenario, slot_],
-                state.shape[scenario, slot_],
-                *nbr,
-            )
-
+        # neighbor gathering stays vmapped (cheap); the heavy evaluator runs
+        # natively batched over all S*C CBVs so the sequential re-tracking
+        # rollout is ONE full-occupancy Pallas kernel (ops/retrack.py)
         scen = jnp.broadcast_to(jnp.arange(S)[:, None], (S, C))
-        traj_rm = out["trajectory"].reshape(S, C, R, M, -1, 6)
-        adv = jax.vmap(jax.vmap(one_adv))(scen, slot, feats, traj_rm)
+        nbr = jax.vmap(jax.vmap(
+            lambda sc, sl_: _neighbor_states(state, sc, sl_, NUM_NEIGHBORS)
+        ))(scen, slot)
+        B = S * C
+        fb = lambda x: x.reshape((B,) + x.shape[2:])
+        rl = feats["reference_line"]
+        traj_rm = out["trajectory"].reshape(B, R, M, -1, 6)
+        adv = grpo_advantage_batched(
+            tmap,
+            traj_rm,
+            fb(rl["valid_mask"]).any(-1),
+            fb(rl["position"]),
+            fb(rl["orientation"]),
+            fb(rl["valid_mask"]),
+            state.pos[scen, slot].reshape(B, 2),
+            state.heading[scen, slot].reshape(B),
+            state.speed[scen, slot].reshape(B),
+            state.shape[scen, slot].reshape(B, 2),
+            *[fb(x) for x in nbr],
+        )
+        adv = jax.tree.map(lambda x: x.reshape((S, C) + x.shape[1:]), adv)
         result["old_logits"] = prob
         result["advantage"] = adv["advantage"]
         result["adv_valid"] = adv["valid_mask"] & slot_valid[..., None, None]

@@ -157,12 +157,25 @@ def rollout_candidates(
     """Re-track each candidate with the shared PID + bicycle model.
 
     Returns (center [G, Tr, 2], heading [G, Tr], speed [G, Tr]).
-    """
+
+    On TPU the whole sequential loop runs as one Pallas kernel
+    (ops/retrack.py) — as a lax.scan its ~50 tiny ops x 39 steps are pure
+    dispatch overhead (~100 ms/tick at 9216 candidates)."""
+    if jax.default_backend() in ("tpu", "axon"):
+        from ..ops.retrack import retrack_rollout_pallas
+
+        return retrack_rollout_pallas(
+            ref_pos[:, :num_frames],
+            ref_heading[:, :num_frames],
+            jnp.broadcast_to(init_speed, ref_pos.shape[:1]),
+            num_frames,
+            dt,
+        )
     G = ref_pos.shape[0]
     tracker0 = TrackerState.zeros((G,))
     pos0 = ref_pos[:, 0]
     heading0 = ref_heading[:, 0]
-    speed0 = jnp.full((G,), init_speed)
+    speed0 = jnp.broadcast_to(init_speed, (G,))
 
     def body(carry, _):
         pos, heading, speed, tracker, closest = carry
@@ -306,6 +319,135 @@ def ref_line_matrices(
 # The fused advantage kernel (get_grpo_advantage spec)
 # --------------------------------------------------------------------------
 @partial(jax.jit, static_argnames=("dt", "num_frames"))
+def grpo_advantage_batched(
+    tmap: TensorMap,
+    trajectories: jnp.ndarray,  # [B, R, M, T, 6] local-frame model output
+    r_valid: jnp.ndarray,  # [B, R] valid reference lines
+    ref_pos: jnp.ndarray,  # [B, R, Nr, 2] local-frame reference lines
+    ref_heading: jnp.ndarray,  # [B, R, Nr]
+    ref_point_valid: jnp.ndarray,  # [B, R, Nr]
+    center_pos: jnp.ndarray,  # [B, 2] world position of each CBV
+    center_heading: jnp.ndarray,  # [B] world heading
+    center_speed: jnp.ndarray,  # [B]
+    center_shape: jnp.ndarray,  # [B, 2] width, length
+    nbr_pos: jnp.ndarray,  # [B, N, 2] world neighbor states
+    nbr_heading: jnp.ndarray,  # [B, N]
+    nbr_speed: jnp.ndarray,  # [B, N]
+    nbr_control: jnp.ndarray,  # [B, N, 3]
+    nbr_shape: jnp.ndarray,  # [B, N, 2]
+    nbr_valid: jnp.ndarray,  # [B, N]
+    dt: float = 0.1,
+    num_frames: int = NUM_FRAMES,
+):
+    """Group-relative advantage, batched over B CBVs at once.
+
+    Batched natively (not vmapped) so the sequential re-tracking rollout
+    runs ONCE on the flattened [B*G] candidate axis — on TPU that is a
+    single full-occupancy Pallas kernel (ops/retrack.py) instead of B
+    padded per-CBV calls.
+
+    Returns dict: advantage [B, R, M], valid_mask [B, R, M],
+    rollout_return [B, R, M].
+    """
+    B, R, M = trajectories.shape[:3]
+    G = R * M
+    traj = trajectories[:, :, :, :num_frames]
+    cand_pos_local = traj[..., :2]
+    cand_heading_local = jnp.arctan2(traj[..., 3], traj[..., 2])
+
+    # 1. ref-line matrices in local frame
+    delta_dis, delta_angle = jax.vmap(ref_line_matrices)(
+        cand_pos_local, cand_heading_local, ref_pos, ref_heading, ref_point_valid
+    )
+    delta_dis = jnp.abs(delta_dis).reshape(B, G, num_frames)
+    delta_angle = jnp.abs(delta_angle).reshape(B, G, num_frames)
+
+    # 2. candidates to world frame, anchored at the CBV pose
+    #    (get_center_rollout spec: first point forced to the origin)
+    flat_pos = cand_pos_local.reshape(B, G, num_frames, 2)
+    flat_pos = flat_pos - flat_pos[:, :, :1]
+    world_pos = rotate(flat_pos, center_heading[:, None, None]) + center_pos[
+        :, None, None
+    ]
+    world_heading = (
+        cand_heading_local.reshape(B, G, num_frames)
+        + center_heading[:, None, None]
+    )
+
+    # 3. PID re-tracking rollout, flattened over [B*G]
+    roll_pos, roll_heading, roll_speed = rollout_candidates(
+        world_pos.reshape(B * G, num_frames, 2),
+        world_heading.reshape(B * G, num_frames),
+        jnp.repeat(center_speed, G),
+        dt,
+        num_frames,
+    )
+    roll_speed, roll_acc, roll_yaw_rate, roll_yaw_acc = derive_kinematics(
+        roll_heading, roll_speed, dt
+    )
+    roll_pos = roll_pos.reshape(B, G, num_frames, 2)
+    roll_heading = roll_heading.reshape(B, G, num_frames)
+    roll_speed = roll_speed.reshape(B, G, num_frames)
+    roll_acc = roll_acc.reshape(B, G, num_frames)
+    roll_yaw_rate = roll_yaw_rate.reshape(B, G, num_frames)
+    roll_yaw_acc = roll_yaw_acc.reshape(B, G, num_frames)
+
+    # 4. neighbor forecast
+    nb_center, nb_heading, nb_shape, nb_valid = jax.vmap(
+        partial(forecast_neighbors, num_frames=num_frames)
+    )(nbr_pos, nbr_heading, nbr_speed, nbr_control, nbr_shape, nbr_valid)
+
+    # 5. collision matrix [B, G, Tr]
+    hit = obb_overlap(
+        roll_pos[:, :, None],  # [B, G, 1, Tr, 2]
+        roll_heading[:, :, None],
+        jnp.broadcast_to(
+            center_shape[:, None, None, None], (B, G, 1, num_frames, 2)
+        ),
+        nb_center[:, None],  # [B, 1, N, Tr, 2]
+        nb_heading[:, None],
+        nb_shape[:, None],
+    )  # [B, G, N, Tr]
+    hit &= nb_valid[:, None, :, None]
+    collision = hit.any(axis=2)  # [B, G, Tr]
+
+    # 6. off-road matrix — raster lookup (B*G*T points per tick: the exact
+    #    polyline test would gather ~30 GB)
+    offroad = ~tmap.on_road_raster(roll_pos.reshape(-1, 2)).reshape(
+        B, G, num_frames
+    )
+
+    # 7. reward -> discounted return, zeroed after first collision
+    #    (get_rollout_return spec: `break` after the collision step — the
+    #    colliding step itself still contributes)
+    r = dense_reward(
+        delta_dis, delta_angle, roll_speed, roll_acc, roll_yaw_rate,
+        roll_yaw_acc, collision.astype(jnp.float32), offroad.astype(jnp.float32),
+    )
+    collided_before = jnp.concatenate(
+        [jnp.zeros((B, G, 1), bool), jnp.cumsum(collision, axis=-1)[..., :-1] > 0],
+        axis=-1,
+    )
+    active = ~collided_before
+    discount = GAMMA ** jnp.arange(num_frames, dtype=jnp.float32)
+    ret = jnp.sum(r * active * discount, axis=-1)  # [B, G]
+
+    # 8. group z-score over valid candidates, per CBV
+    cand_valid = jnp.broadcast_to(r_valid[:, :, None], (B, R, M)).reshape(B, G)
+    n = jnp.maximum(cand_valid.sum(-1, keepdims=True), 1)
+    mean = jnp.sum(ret * cand_valid, -1, keepdims=True) / n
+    var = jnp.sum((ret - mean) ** 2 * cand_valid, -1, keepdims=True) / n
+    std = jnp.sqrt(var) + 1e-5
+    adv = (ret - mean) / std
+
+    return {
+        "advantage": (adv * cand_valid).reshape(B, R, M),
+        "valid_mask": cand_valid.reshape(B, R, M),
+        "rollout_return": (ret * cand_valid).reshape(B, R, M),
+    }
+
+
+@partial(jax.jit, static_argnames=("dt", "num_frames"))
 def grpo_advantage(
     tmap: TensorMap,
     trajectories: jnp.ndarray,  # [R, M, T, 6] local-frame model output
@@ -326,87 +468,28 @@ def grpo_advantage(
     dt: float = 0.1,
     num_frames: int = NUM_FRAMES,
 ):
-    """Group-relative advantage for all R*M candidates of one CBV.
+    """Single-CBV wrapper over `grpo_advantage_batched` (B = 1).
 
     Returns dict: advantage [R, M], valid_mask [R, M], rollout_return [R, M].
     """
-    R, M, T, _ = trajectories.shape
-    traj = trajectories[:, :, :num_frames]
-    cand_pos_local = traj[..., :2]
-    cand_heading_local = jnp.arctan2(traj[..., 3], traj[..., 2])
-
-    # 1. ref-line matrices in local frame
-    delta_dis, delta_angle = ref_line_matrices(
-        cand_pos_local, cand_heading_local, ref_pos, ref_heading, ref_point_valid
+    out = grpo_advantage_batched(
+        tmap,
+        trajectories[None],
+        r_valid[None],
+        ref_pos[None],
+        ref_heading[None],
+        ref_point_valid[None],
+        center_pos[None],
+        center_heading[None],
+        center_speed[None],
+        center_shape[None],
+        nbr_pos[None],
+        nbr_heading[None],
+        nbr_speed[None],
+        nbr_control[None],
+        nbr_shape[None],
+        nbr_valid[None],
+        dt=dt,
+        num_frames=num_frames,
     )
-    delta_dis = jnp.abs(delta_dis).reshape(R * M, num_frames)
-    delta_angle = jnp.abs(delta_angle).reshape(R * M, num_frames)
-
-    # 2. candidates to world frame, anchored at the CBV pose
-    #    (get_center_rollout spec: first point forced to the origin)
-    flat_pos = cand_pos_local.reshape(R * M, num_frames, 2)
-    flat_pos = flat_pos - flat_pos[:, :1]
-    world_pos = rotate(flat_pos, center_heading) + center_pos
-    world_heading = cand_heading_local.reshape(R * M, num_frames) + center_heading
-
-    # 3. PID re-tracking rollout
-    roll_pos, roll_heading, roll_speed = rollout_candidates(
-        world_pos, world_heading, center_speed, dt, num_frames
-    )
-    roll_speed, roll_acc, roll_yaw_rate, roll_yaw_acc = derive_kinematics(
-        roll_heading, roll_speed, dt
-    )
-
-    # 4. neighbor forecast
-    nb_center, nb_heading, nb_shape, nb_valid = forecast_neighbors(
-        nbr_pos, nbr_heading, nbr_speed, nbr_control, nbr_shape, nbr_valid,
-        num_frames,
-    )
-
-    # 5. collision matrix [G, Tr]
-    G = R * M
-    hit = obb_overlap(
-        roll_pos[:, None],  # [G, 1, Tr, 2]
-        roll_heading[:, None],
-        jnp.broadcast_to(center_shape, (G, 1, num_frames, 2)),
-        nb_center[None],  # [1, N, Tr, 2]
-        nb_heading[None],
-        nb_shape[None],
-    )  # [G, N, Tr]
-    hit &= nb_valid[None, :, None]
-    collision = hit.any(axis=1)  # [G, Tr]
-
-    # 6. off-road matrix — raster lookup (G*T points per CBV, batched over
-    #    all scenarios x CBVs: the exact polyline test would gather ~30 GB)
-    offroad = ~tmap.on_road_raster(roll_pos.reshape(-1, 2)).reshape(
-        G, num_frames
-    )
-
-    # 7. reward -> discounted return, zeroed after first collision
-    #    (get_rollout_return spec: `break` after the collision step — the
-    #    colliding step itself still contributes)
-    r = dense_reward(
-        delta_dis, delta_angle, roll_speed, roll_acc, roll_yaw_rate,
-        roll_yaw_acc, collision.astype(jnp.float32), offroad.astype(jnp.float32),
-    )
-    collided_before = jnp.concatenate(
-        [jnp.zeros((G, 1), bool), jnp.cumsum(collision, axis=-1)[:, :-1] > 0],
-        axis=-1,
-    )
-    active = ~collided_before
-    discount = GAMMA ** jnp.arange(num_frames, dtype=jnp.float32)
-    ret = jnp.sum(r * active * discount, axis=-1)  # [G]
-
-    # 8. group z-score over valid candidates
-    cand_valid = jnp.broadcast_to(r_valid[:, None], (R, M)).reshape(G)
-    n = jnp.maximum(cand_valid.sum(), 1)
-    mean = jnp.sum(ret * cand_valid) / n
-    var = jnp.sum((ret - mean) ** 2 * cand_valid) / n
-    std = jnp.sqrt(var) + 1e-5
-    adv = (ret - mean) / std
-
-    return {
-        "advantage": (adv * cand_valid).reshape(R, M),
-        "valid_mask": cand_valid.reshape(R, M),
-        "rollout_return": (ret * cand_valid).reshape(R, M),
-    }
+    return jax.tree.map(lambda x: x[0], out)

@@ -360,8 +360,21 @@ def env_step(
         & (state.tick % RECOG_INTERVAL == 0)
         & ~crit.done
     )
-    new_is_cbv, goal, gvalid, _, promote = recognize_cbvs(
-        tmap, spec, state, max_cbvs
+    # ticks advance in lockstep across scenarios, so the cadence check is
+    # scalar — lax.cond skips the whole recognition computation on
+    # off-cadence ticks instead of discarding it through jnp.where
+    tick0 = state.tick.reshape(-1)[0]
+    any_recog = (tick0 > RECOG_WARMUP_TICKS) & (tick0 % RECOG_INTERVAL == 0)
+    new_is_cbv, goal, gvalid, _, promote = jax.lax.cond(
+        any_recog,
+        lambda: recognize_cbvs(tmap, spec, state, max_cbvs),
+        lambda: (
+            state.is_cbv,
+            state.goal,
+            state.goal_valid,
+            jnp.full_like(state.lane, -1),
+            jnp.zeros_like(state.is_cbv),
+        ),
     )
     gate = do_recog[:, None]
     promote &= gate

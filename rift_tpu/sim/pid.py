@@ -63,14 +63,21 @@ class PIDState(NamedTuple):
 def pid_step(
     state: PIDState, error: jnp.ndarray, kp: float, ki: float, kd: float
 ) -> tuple[jnp.ndarray, PIDState]:
-    """One PID update. `error` has the state's batch shape."""
+    """One PID update. `error` has the state's batch shape.
+
+    Matches the reference PID exactly (pid_controller.py:14-35): the window
+    deque is PRE-FILLED with n zeros, so the integral is the mean over the
+    full window (zeros included early on) and the derivative is
+    `error - previous_error` (the previous error is 0 on the first step)."""
     idx = state.ptr
-    prev = jnp.take_along_axis(state.buf, idx[..., None], axis=-1)[..., 0]
+    prev = jnp.take_along_axis(
+        state.buf, ((idx - 1) % PID_WINDOW)[..., None], axis=-1
+    )[..., 0]
     buf = jnp.where(
         jnp.arange(PID_WINDOW) == idx[..., None], error[..., None], state.buf
     )
     count = jnp.minimum(state.count + 1, PID_WINDOW)
-    integral = buf.sum(-1) / jnp.maximum(count, 1).astype(jnp.float32)
+    integral = buf.sum(-1) / float(PID_WINDOW)
     derivative = error - prev
     out = kp * error + ki * integral + kd * derivative
     return out, PIDState(buf=buf, ptr=(idx + 1) % PID_WINDOW, count=count)

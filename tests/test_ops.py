@@ -104,3 +104,31 @@ def test_attention_pallas_interpret_bf16():
     np.testing.assert_allclose(
         np.asarray(out, dtype=np.float32), ref, rtol=0.1, atol=0.1
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused PID re-tracking rollout (ops/retrack.py)
+# ---------------------------------------------------------------------------
+def test_retrack_pallas_matches_scan_path():
+    from rift_tpu.ops.retrack import retrack_rollout_pallas
+    from rift_tpu.rl.evaluator import rollout_candidates
+
+    rng = np.random.default_rng(3)
+    G, T = 9, 40  # odd G exercises block padding (BB=128)
+    # smooth forward trajectories with gentle curvature
+    headings = np.cumsum(rng.normal(0, 0.02, (G, T)), axis=1).astype(np.float32)
+    step = rng.uniform(0.4, 0.9, (G, 1)).astype(np.float32)
+    dx = np.cos(headings) * step
+    dy = np.sin(headings) * step
+    pos = np.stack([np.cumsum(dx, 1), np.cumsum(dy, 1)], -1).astype(np.float32)
+    ref_pos = jnp.asarray(pos)
+    ref_h = jnp.asarray(headings)
+    v0 = jnp.asarray(rng.uniform(2.0, 8.0, (G,)).astype(np.float32))
+
+    # jnp scan reference (the CPU fallback inside rollout_candidates)
+    c_ref, h_ref, v_ref = rollout_candidates(ref_pos, ref_h, v0)
+    c_k, h_k, v_k = retrack_rollout_pallas(ref_pos, ref_h, v0, T, 0.1, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(c_k), np.asarray(c_ref), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(h_k), np.asarray(h_ref), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_ref), rtol=1e-4, atol=1e-3)

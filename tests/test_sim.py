@@ -84,12 +84,24 @@ def test_pid_proportional():
 
 
 def test_pid_integral_accumulates():
+    """Reference PID semantics (pid_controller.py:14-35): the window deque is
+    pre-filled with 20 zeros, so the integral is the mean over the FULL
+    window — 1/20 after one unit error, 2/20 after two."""
     st = PIDState.zeros(())
     out1, st = pid_step(st, jnp.array(1.0), kp=0.0, ki=1.0, kd=0.0)
     out2, st = pid_step(st, jnp.array(1.0), kp=0.0, ki=1.0, kd=0.0)
-    # integral = mean of stored errors -> stays 1.0 for constant error
-    np.testing.assert_allclose(float(out1), 1.0, atol=1e-6)
-    np.testing.assert_allclose(float(out2), 1.0, atol=1e-6)
+    np.testing.assert_allclose(float(out1), 1.0 / 20.0, atol=1e-6)
+    np.testing.assert_allclose(float(out2), 2.0 / 20.0, atol=1e-6)
+
+
+def test_pid_derivative_uses_previous_error():
+    """derivative = error - previous_error (reference window[-1]-window[-2]),
+    NOT error minus the oldest ring entry."""
+    st = PIDState.zeros(())
+    out1, st = pid_step(st, jnp.array(1.0), kp=0.0, ki=0.0, kd=1.0)
+    np.testing.assert_allclose(float(out1), 1.0, atol=1e-6)  # 1 - 0
+    out2, st = pid_step(st, jnp.array(3.0), kp=0.0, ki=0.0, kd=1.0)
+    np.testing.assert_allclose(float(out2), 2.0, atol=1e-6)  # 3 - 1
 
 
 def test_tracker_drives_forward():
