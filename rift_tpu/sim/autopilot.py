@@ -111,15 +111,11 @@ def chain_lanes_free(
     def body(carry, i):
         cur, bits = carry
         succ = tmap.successors[jnp.maximum(cur, 0)]  # [..., K]
-        ok = succ >= 0
-        n_ok = ok.sum(-1)
+        # valid successors are front-packed (build_tensor_map fills from
+        # k=0 with -1 padding), so the choice-th valid one is succ[choice]
+        n_ok = (succ >= 0).sum(-1)
         choice = (bits >> (2 * i)).astype(jnp.int32) % jnp.maximum(n_ok, 1)
-        # pick the `choice`-th valid successor
-        order = jnp.argsort(~ok, axis=-1)
-        succ_sorted = jnp.take_along_axis(succ, order, axis=-1)
-        nxt = jnp.take_along_axis(
-            succ_sorted, choice[..., None], axis=-1
-        )[..., 0]
+        nxt = jnp.take_along_axis(succ, choice[..., None], axis=-1)[..., 0]
         nxt = jnp.where((n_ok > 0) & (cur >= 0), nxt, -1)
         return (nxt, bits), nxt
 
@@ -145,39 +141,39 @@ def lane_follow_waypoints(
     (pid.track_step), so `spacing = v_target * dt` makes the PID chase the
     IDM speed while pure-pursuit steering follows the lane.
     """
+    # closed form (no jnp.interp): lane centerline vertices are
+    # arclength-uniform per lane, so a chain arclength maps to (lane j,
+    # fractional vertex) with cumulative-lane-length bucketing — the same
+    # trick as map/reference_lines.py. ~4x cheaper per tick at [S, A].
     chain = chain_lanes_free(tmap, lane, branch_bits)  # [..., C]
-    pts = tmap.centerline[jnp.maximum(chain, 0)]  # [..., C, P, 2]
-    valid = (chain >= 0)[..., None] & jnp.ones(LANE_POINTS, bool)
-    # flatten chain
-    batch = chain.shape[:-1]
-    n = chain.shape[-1] * LANE_POINTS
-    pts = pts.reshape(*batch, n, 2)
-    valid = valid.reshape(*batch, n)
-    # arclength along the chain (invalid segments contribute 0)
-    seg = jnp.linalg.norm(jnp.diff(pts, axis=-2), axis=-1)
-    seg = jnp.where(valid[..., 1:] & valid[..., :-1], seg, 0.0)
-    s = jnp.concatenate([jnp.zeros_like(seg[..., :1]), jnp.cumsum(seg, axis=-1)], axis=-1)
-    # start at the agent's nearest chain vertex
-    d2 = jnp.sum((pts - pos[..., None, :]) ** 2, axis=-1)
-    d2 = jnp.where(valid, d2, jnp.inf)
-    i0 = jnp.argmin(d2, axis=-1)
-    s0 = jnp.take_along_axis(s, i0[..., None], axis=-1)[..., 0]
+    ch = jnp.maximum(chain, 0)
+    lens = tmap.length[ch] * (chain >= 0)  # [..., C]
+    cum = jnp.concatenate(
+        [jnp.zeros_like(lens[..., :1]), jnp.cumsum(lens, axis=-1)], axis=-1
+    )  # [..., C+1]
+    s0, _, _ = tmap.project(jnp.maximum(lane, 0), pos)  # [...]
     targets = (
         s0[..., None]
         + (1.0 + jnp.arange(num_points, dtype=jnp.float32)) * spacing[..., None]
-    )
-
-    def interp1(t, sv, xv):
-        return jnp.interp(t, sv, xv)
-
-    # vectorized interp over batch
-    flat_t = targets.reshape(-1, num_points)
-    flat_s = s.reshape(-1, n)
-    flat_x = pts[..., 0].reshape(-1, n)
-    flat_y = pts[..., 1].reshape(-1, n)
-    wx = jax.vmap(interp1)(flat_t, flat_s, flat_x).reshape(*batch, num_points)
-    wy = jax.vmap(interp1)(flat_t, flat_s, flat_y).reshape(*batch, num_points)
-    world_wp = jnp.stack([wx, wy], axis=-1)
+    )  # [..., N]
+    # clamp to the chain end so the path terminates at the last vertex
+    targets = jnp.minimum(targets, cum[..., -1:])
+    j = jnp.clip(
+        (targets[..., None] >= cum[..., None, 1:]).sum(-1),
+        0,
+        chain.shape[-1] - 1,
+    )  # [..., N]
+    lane_j = jnp.take_along_axis(ch, j, axis=-1)  # [..., N]
+    u = targets - jnp.take_along_axis(cum, j, axis=-1)
+    P = LANE_POINTS
+    frac = jnp.clip(
+        u / jnp.maximum(tmap.length[lane_j], 1e-3), 0.0, 1.0
+    ) * (P - 1)
+    i0 = jnp.clip(frac.astype(jnp.int32), 0, P - 2)
+    w = (frac - i0)[..., None]
+    p0 = tmap.centerline[lane_j, i0]  # [..., N, 2]
+    p1 = tmap.centerline[lane_j, i0 + 1]
+    world_wp = p0 * (1.0 - w) + p1 * w
     # to local frame
     rel = world_wp - pos[..., None, :]
     c = jnp.cos(heading)[..., None]
@@ -201,29 +197,28 @@ def path_follow_waypoints(
 
     Used by the rule ego to follow its scenario route, standing in for
     PDM-Lite's privileged route planner."""
+    # closed form: route waypoints are densified at exactly 1 m spacing
+    # (map/routing.py:route_waypoints), so arclength == index — the target
+    # arclengths map to fractional indices directly, no jnp.interp over the
+    # 1024-padded route.
     n = path.shape[-2]
     idx_range = jnp.arange(n)
     valid = idx_range < path_len[..., None]
     pts = path[..., :2]
-    seg = jnp.linalg.norm(jnp.diff(pts, axis=-2), axis=-1)
-    seg = jnp.where(valid[..., 1:] & valid[..., :-1], seg, 0.0)
-    s = jnp.concatenate([jnp.zeros_like(seg[..., :1]), jnp.cumsum(seg, axis=-1)], axis=-1)
     d2 = jnp.sum((pts - pos[..., None, :]) ** 2, axis=-1)
     d2 = jnp.where(valid, d2, jnp.inf)
-    i0 = jnp.argmin(d2, axis=-1)
-    s0 = jnp.take_along_axis(s, i0[..., None], axis=-1)[..., 0]
-    targets = (
-        s0[..., None]
+    i0 = jnp.argmin(d2, axis=-1).astype(jnp.float32)  # [...] ~ meters
+    last = jnp.maximum(path_len - 1, 0).astype(jnp.float32)
+    idx_f = (
+        i0[..., None]
         + (1.0 + jnp.arange(num_points, dtype=jnp.float32)) * spacing[..., None]
     )
-    batch = path.shape[:-2]
-    flat_t = targets.reshape(-1, num_points)
-    flat_s = s.reshape(-1, n)
-    flat_x = pts[..., 0].reshape(-1, n)
-    flat_y = pts[..., 1].reshape(-1, n)
-    wx = jax.vmap(jnp.interp)(flat_t, flat_s, flat_x).reshape(*batch, num_points)
-    wy = jax.vmap(jnp.interp)(flat_t, flat_s, flat_y).reshape(*batch, num_points)
-    world_wp = jnp.stack([wx, wy], axis=-1)
+    idx_f = jnp.clip(idx_f, 0.0, last[..., None])
+    j0 = jnp.clip(idx_f.astype(jnp.int32), 0, n - 2)
+    w = (idx_f - j0)[..., None]
+    p0 = jnp.take_along_axis(pts, j0[..., None].repeat(2, -1), axis=-2)
+    p1 = jnp.take_along_axis(pts, (j0 + 1)[..., None].repeat(2, -1), axis=-2)
+    world_wp = p0 * (1.0 - w) + p1 * w
     rel = world_wp - pos[..., None, :]
     c = jnp.cos(heading)[..., None]
     sn = jnp.sin(heading)[..., None]
