@@ -220,16 +220,55 @@ def _central_diff(x, dt):
     return jnp.concatenate([first, mid, last], axis=-1)
 
 
+def _sg_matrix(T: int):
+    """[T, T] linear operator: reflect-padded window-5 SG smoothing
+    (equals _smooth5 applied to a length-T sequence)."""
+    import numpy as onp
+
+    k = onp.array([-3.0, 12.0, 17.0, 12.0, -3.0]) / 35.0
+    M = onp.zeros((T, T), onp.float32)
+    for i in range(T):
+        for j, kv in enumerate(k):
+            src = i + j - 2
+            if src < 0:
+                src = -src  # reflect: x[2:0:-1] prefix
+            elif src >= T:
+                src = 2 * T - 2 - src  # reflect: x[-2:-4:-1] suffix
+            M[i, src] += kv
+    return M
+
+
+def _diff_matrix(T: int):
+    """[T, T] unscaled difference operator D and per-row scale so that
+    (x @ D.T) * scale == _central_diff(x, dt) with dt folded into scale."""
+    import numpy as onp
+
+    D = onp.zeros((T, T), onp.float32)
+    scale = onp.empty(T, onp.float32)
+    D[0, 1], D[0, 0], scale[0] = 1.0, -1.0, 1.0
+    D[T - 1, T - 1], D[T - 1, T - 2], scale[T - 1] = 1.0, -1.0, 1.0
+    for i in range(1, T - 1):
+        D[i, i + 1], D[i, i - 1], scale[i] = 1.0, -1.0, 0.5
+    return D, scale
+
+
 def derive_kinematics(heading, speed, dt=0.1):
-    """speed/accel/yaw-rate/yaw-accel from heading+speed sequences [..., T]."""
-    speed_s = _smooth5(speed)
-    accel = _central_diff(speed_s, dt)
-    heading_s = _smooth5(heading)
-    dth = wrap_angle(heading_s[..., 2:] - heading_s[..., :-2]) / (2 * dt)
-    first = wrap_angle(heading_s[..., 1:2] - heading_s[..., :1]) / dt
-    last = wrap_angle(heading_s[..., -1:] - heading_s[..., -2:-1]) / dt
-    yaw_rate = jnp.concatenate([first, dth, last], axis=-1)
-    yaw_accel = _central_diff(yaw_rate, dt)
+    """speed/accel/yaw-rate/yaw-accel from heading+speed sequences [..., T].
+
+    Formulated as [T, T] matrix applications (smoothing and differencing are
+    linear) — a handful of [B, T] x [T, T] matmuls instead of ~30 shifted
+    elementwise ops, which at B~9k rows are pure dispatch overhead."""
+    T = speed.shape[-1]
+    S = jnp.asarray(_sg_matrix(T))
+    D, dscale = _diff_matrix(T)
+    D = jnp.asarray(D)
+    dscale = jnp.asarray(dscale) / dt
+
+    speed_s = speed @ S.T
+    accel = (speed_s @ D.T) * dscale
+    heading_s = heading @ S.T
+    yaw_rate = wrap_angle(heading_s @ D.T) * dscale
+    yaw_accel = (yaw_rate @ D.T) * dscale
     return speed_s, accel, yaw_rate, yaw_accel
 
 
@@ -355,10 +394,27 @@ def grpo_advantage_batched(
     cand_pos_local = traj[..., :2]
     cand_heading_local = jnp.arctan2(traj[..., 3], traj[..., 2])
 
-    # 1. ref-line matrices in local frame
-    delta_dis, delta_angle = jax.vmap(ref_line_matrices)(
-        cand_pos_local, cand_heading_local, ref_pos, ref_heading, ref_point_valid
-    )
+    # 1. ref-line matrices in local frame. On TPU, one VMEM-tiled kernel per
+    #    (CBV, ref-line) pair (ops/refline.py) — the XLA path materializes a
+    #    [B, R, M, T, Nr] f32 distance tensor (~1.8 GB at B=192) in HBM.
+    if jax.default_backend() in ("tpu", "axon"):
+        from ..ops.refline import refline_matrices_pallas
+
+        Nr = ref_pos.shape[2]
+        dd, da = refline_matrices_pallas(
+            cand_pos_local.reshape(B * R, M * num_frames, 2),
+            cand_heading_local.reshape(B * R, M * num_frames),
+            ref_pos.reshape(B * R, Nr, 2),
+            ref_heading.reshape(B * R, Nr),
+            ref_point_valid.reshape(B * R, Nr),
+        )
+        delta_dis = dd.reshape(B, R, M, num_frames)
+        delta_angle = da.reshape(B, R, M, num_frames)
+    else:
+        delta_dis, delta_angle = jax.vmap(ref_line_matrices)(
+            cand_pos_local, cand_heading_local, ref_pos, ref_heading,
+            ref_point_valid,
+        )
     delta_dis = jnp.abs(delta_dis).reshape(B, G, num_frames)
     delta_angle = jnp.abs(delta_angle).reshape(B, G, num_frames)
 

@@ -227,3 +227,38 @@ def test_grpo_advantage_invalid_ref_masked():
     # z-score over the remaining group
     adv0 = np.asarray(out["advantage"][0])
     np.testing.assert_allclose(adv0.mean(), 0.0, atol=1e-3)
+
+
+def test_derive_kinematics_matrix_matches_direct():
+    """The [T,T]-matrix formulation must equal the shifted-window reference
+    implementation (_smooth5 / _central_diff)."""
+    from rift_tpu.rl.evaluator import (
+        _central_diff,
+        _smooth5,
+        derive_kinematics,
+        wrap_angle,
+    )
+
+    rng = np.random.default_rng(7)
+    T = 40
+    speed = jnp.asarray(rng.uniform(0, 15, (6, T)).astype(np.float32))
+    heading = jnp.asarray(
+        np.cumsum(rng.normal(0, 0.3, (6, T)), -1).astype(np.float32)
+    )
+    dt = 0.1
+
+    s_s, acc, yr, ya = derive_kinematics(heading, speed, dt)
+
+    speed_ref = _smooth5(speed)
+    acc_ref = _central_diff(speed_ref, dt)
+    h_s = _smooth5(heading)
+    dth = wrap_angle(h_s[..., 2:] - h_s[..., :-2]) / (2 * dt)
+    first = wrap_angle(h_s[..., 1:2] - h_s[..., :1]) / dt
+    last = wrap_angle(h_s[..., -1:] - h_s[..., -2:-1]) / dt
+    yr_ref = jnp.concatenate([first, dth, last], axis=-1)
+    ya_ref = _central_diff(yr_ref, dt)
+
+    np.testing.assert_allclose(np.asarray(s_s), np.asarray(speed_ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(acc_ref), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(yr_ref), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(ya_ref), rtol=1e-4, atol=1e-2)

@@ -132,3 +132,34 @@ def test_retrack_pallas_matches_scan_path():
     np.testing.assert_allclose(np.asarray(c_k), np.asarray(c_ref), rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(h_k), np.asarray(h_ref), rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_ref), rtol=1e-4, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Ref-line matrices kernel (ops/refline.py)
+# ---------------------------------------------------------------------------
+def test_refline_pallas_interpret_matches_xla():
+    from rift_tpu.ops.refline import refline_matrices_pallas
+    from rift_tpu.rl.evaluator import ref_line_matrices
+
+    rng = np.random.default_rng(5)
+    R, M, T, Nr = 3, 4, 10, 30
+    cand = jnp.asarray(rng.normal(0, 20, (R, M, T, 2)).astype(np.float32))
+    ch = jnp.asarray(rng.normal(0, 1, (R, M, T)).astype(np.float32))
+    rp = jnp.asarray(
+        np.cumsum(rng.normal(1.0, 0.2, (R, Nr, 2)), 1).astype(np.float32)
+    )
+    rh = jnp.asarray(rng.normal(0, 1, (R, Nr)).astype(np.float32))
+    rv = jnp.asarray(rng.uniform(size=(R, Nr)) < 0.8)
+    rv = rv.at[:, 0].set(True)
+
+    dd_ref, da_ref = ref_line_matrices(cand, ch, rp, rh, rv)
+    dd, da = refline_matrices_pallas(
+        cand.reshape(R, M * T, 2), ch.reshape(R, M * T), rp, rh, rv,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dd).reshape(R, M, T), np.asarray(dd_ref), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(da).reshape(R, M, T), np.asarray(da_ref), rtol=1e-4, atol=1e-4
+    )
