@@ -29,7 +29,7 @@ from rift_tpu.utils import enable_compilation_cache
 enable_compilation_cache()
 
 BASELINE_ENV_STEPS_PER_S = 15.0
-CHUNK = 10
+CHUNK = 20
 
 
 def measure(fn, state, crit, chunks, warmup=1, trials=2):

@@ -208,36 +208,52 @@ def _embed(sd, key):
 
 
 def _history_encoder(sd, key, depths=(2, 2, 2), heads=(2, 4, 8)):
+    """NATSequenceEncoder -> the flat HistoryEncoder param dict
+    (ops/history.py:weight_order): qkv packed [D, 3D], out [D, D], convs
+    [k, in, out]. The flat layout lets the whole forward run as one fused
+    Pallas kernel."""
     out: dict[str, Any] = {}
     w, b = _conv1d(sd, key + ".embed.proj", bias=True)
-    out["Conv_0"] = {"kernel": w, "bias": b}
+    out["conv0_w"], out["conv0_b"] = w, b
     blk = 0
     for level, (depth, h) in enumerate(zip(depths, heads)):
         for i in range(depth):
             p = f"{key}.levels.{level}.blocks.{i}"
-            out[f"LocalBlock_{blk}"] = {
-                "LayerNorm_0": _layer_norm(sd, p + ".norm1"),
-                "Attention_0": _packed_qkv(sd, p + ".attn", h),
-                "LayerNorm_1": _layer_norm(sd, p + ".norm2"),
-                "Dense_0": {"kernel": _linear_kernel(sd, p + ".mlp.fc1"),
-                            "bias": _linear_bias(sd, p + ".mlp.fc1")},
-                "Dense_1": {"kernel": _linear_kernel(sd, p + ".mlp.fc2"),
-                            "bias": _linear_bias(sd, p + ".mlp.fc2")},
-            }
+            ln1 = _layer_norm(sd, p + ".norm1")
+            out[f"blk{blk}_ln1_scale"] = ln1["scale"]
+            out[f"blk{blk}_ln1_bias"] = ln1["bias"]
+            qkv_w = sd.pop(p + ".attn.qkv.weight")  # [3C, C]
+            qkv_b = sd.pop(p + ".attn.qkv.bias")
+            out[f"blk{blk}_qkv_w"] = qkv_w.T  # [C, 3C], columns [q|k|v]
+            out[f"blk{blk}_qkv_b"] = qkv_b
+            out[f"blk{blk}_out_w"] = sd.pop(p + ".attn.proj.weight").T
+            out[f"blk{blk}_out_b"] = sd.pop(p + ".attn.proj.bias")
+            C = out[f"blk{blk}_out_w"].shape[0]
+            rpb = sd.pop(p + ".attn.rpb")  # natten [H, 2w-1]
+            out[f"blk{blk}_rpb"] = rpb
+            ln2 = _layer_norm(sd, p + ".norm2")
+            out[f"blk{blk}_ln2_scale"] = ln2["scale"]
+            out[f"blk{blk}_ln2_bias"] = ln2["bias"]
+            out[f"blk{blk}_mlp1_w"] = _linear_kernel(sd, p + ".mlp.fc1")
+            out[f"blk{blk}_mlp1_b"] = _linear_bias(sd, p + ".mlp.fc1")
+            out[f"blk{blk}_mlp2_w"] = _linear_kernel(sd, p + ".mlp.fc2")
+            out[f"blk{blk}_mlp2_b"] = _linear_bias(sd, p + ".mlp.fc2")
             blk += 1
-        out[f"LayerNorm_{2 * level}"] = _layer_norm(sd, f"{key}.norm{level}")
+        ln = _layer_norm(sd, f"{key}.norm{level}")
+        out[f"level{level}_ln_scale"] = ln["scale"]
+        out[f"level{level}_ln_bias"] = ln["bias"]
         if level < len(depths) - 1:
             w, b = _conv1d(sd, f"{key}.levels.{level}.downsample.reduction",
                            bias=False)
-            out[f"Conv_{level + 1}"] = {"kernel": w, "bias": b}
-            out[f"LayerNorm_{2 * level + 1}"] = _layer_norm(
-                sd, f"{key}.levels.{level}.downsample.norm"
-            )
+            out[f"down{level}_w"], out[f"down{level}_b"] = w, b
+            ln = _layer_norm(sd, f"{key}.levels.{level}.downsample.norm")
+            out[f"down{level}_ln_scale"] = ln["scale"]
+            out[f"down{level}_ln_bias"] = ln["bias"]
     for j in range(len(depths)):
         w, b = _conv1d(sd, f"{key}.lateral_convs.{j}", bias=True)
-        out[f"Conv_{3 + j}"] = {"kernel": w, "bias": b}
+        out[f"lat{j}_w"], out[f"lat{j}_b"] = w, b
     w, b = _conv1d(sd, key + ".fpn_conv", bias=True)
-    out["Conv_6"] = {"kernel": w, "bias": b}
+    out["fpn_w"], out["fpn_b"] = w, b
     return out
 
 

@@ -165,7 +165,7 @@ class _PackedProj(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, just_weights: bool = False):
         H, Dh = self.num_heads, self.head_dim
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(in_axis=0, out_axis=(1, 2)),
@@ -173,10 +173,11 @@ class _PackedProj(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (H, Dh))
         dt = self.dtype or jnp.float32
-        return (
-            x.astype(dt) @ kernel.reshape(x.shape[-1], H * Dh).astype(dt)
-            + bias.reshape(H * Dh).astype(dt)
-        )
+        w = kernel.reshape(x.shape[-1], H * Dh).astype(dt)
+        b = bias.reshape(H * Dh).astype(dt)
+        if just_weights:
+            return w, b
+        return x.astype(dt) @ w + b
 
 
 class _PackedOut(nn.Module):
@@ -240,9 +241,34 @@ class Attention(nn.Module):
         Tk = k.shape[-2]
         lead = q.shape[:-2]
 
-        qp = _PackedProj(H, Dh, name="q", dtype=self.dtype)(q)
-        kp = _PackedProj(H, Dh, name="k", dtype=self.dtype)(k)
-        vp = _PackedProj(H, Dh, name="v", dtype=self.dtype)(v)
+        # merge projections sharing an input into one matmul (self-attention:
+        # one [D, 3D]; q==k: one [D, 2D]) — param trees stay separate
+        proj_q = _PackedProj(H, Dh, name="q", dtype=self.dtype)
+        proj_k = _PackedProj(H, Dh, name="k", dtype=self.dtype)
+        proj_v = _PackedProj(H, Dh, name="v", dtype=self.dtype)
+        dt = self.dtype or jnp.float32
+        if q is k and k is v:
+            wq, bq = proj_q(q, just_weights=True)
+            wk, bk = proj_k(q, just_weights=True)
+            wv, bv = proj_v(q, just_weights=True)
+            qkv = q.astype(dt) @ jnp.concatenate(
+                [wq, wk, wv], -1
+            ) + jnp.concatenate([bq, bk, bv])
+            D = H * Dh
+            qp, kp, vp = qkv[..., :D], qkv[..., D : 2 * D], qkv[..., 2 * D :]
+        elif q is k:
+            wq, bq = proj_q(q, just_weights=True)
+            wk, bk = proj_k(q, just_weights=True)
+            qk = q.astype(dt) @ jnp.concatenate(
+                [wq, wk], -1
+            ) + jnp.concatenate([bq, bk])
+            D = H * Dh
+            qp, kp = qk[..., :D], qk[..., D:]
+            vp = proj_v(v)
+        else:
+            qp = proj_q(q)
+            kp = proj_k(k)
+            vp = proj_v(v)
 
         bias = jnp.zeros((H, Tq, Tk), jnp.float32)
         if self.rel_pos_window > 0:
@@ -363,12 +389,115 @@ class LocalBlock(nn.Module):
         return x
 
 
+def history_forward_jnp(
+    W: dict,
+    x: jnp.ndarray,
+    embed_dim: int = 32,
+    depths: tuple = (2, 2, 2),
+    num_heads: tuple = (2, 4, 8),
+    windows: tuple = (3, 3, 5),
+    drop_path_rate: float = 0.2,
+    deterministic: bool = True,
+    dtype=None,
+    dropout_rng=None,
+):
+    """Reference HistoryEncoder forward over the flat param dict `W`
+    (names: ops/history.py:weight_order + blk{i}_rpb). Used on CPU and as
+    the parity baseline for the fused TPU kernel."""
+    from ...ops.history import band_rpb_bias
+
+    dt = dtype or jnp.float32
+    cast = lambda a: a.astype(dt)
+
+    def conv3(x, w, b, stride=1):
+        return jax.lax.conv_general_dilated(
+            x, cast(w), (stride,), "SAME",
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        ) + cast(b)
+
+    def ln(x, s, b):
+        x32 = x.astype(jnp.float32)
+        mu = x32.mean(-1, keepdims=True)
+        var = x32.var(-1, keepdims=True)
+        return (
+            ((x32 - mu) * jax.lax.rsqrt(var + 1e-5)).astype(dt) * cast(s)
+            + cast(b)
+        )
+
+    x = conv3(cast(x), W["conv0_w"], W["conv0_b"])
+    outs = []
+    total = sum(depths)
+    bi = 0
+    for lv, depth in enumerate(depths):
+        H = num_heads[lv]
+        n = x.shape[-2]
+        for _ in range(depth):
+            rate = drop_path_rate * (bi / max(total - 1, 1))
+            bias = band_rpb_bias(
+                W[f"blk{bi}_rpb"].astype(jnp.float32), n, windows[lv]
+            )
+            h = ln(x, W[f"blk{bi}_ln1_scale"], W[f"blk{bi}_ln1_bias"])
+            D = h.shape[-1]
+            Dh = D // H
+            qkv = h @ cast(W[f"blk{bi}_qkv_w"]) + cast(W[f"blk{bi}_qkv_b"])
+            qh = qkv[..., :D].reshape(h.shape[:-1] + (H, Dh))
+            kh = qkv[..., D : 2 * D].reshape(h.shape[:-1] + (H, Dh))
+            vh = qkv[..., 2 * D :].reshape(h.shape[:-1] + (H, Dh))
+            logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(
+                jnp.float32
+            ) / jnp.sqrt(Dh)
+            logits = logits + bias[None]
+            wgt = jax.nn.softmax(logits, axis=-1).astype(dt)
+            att = jnp.einsum("bhqk,bkhd->bqhd", wgt, vh).reshape(
+                h.shape[:-1] + (D,)
+            )
+            att = att @ cast(W[f"blk{bi}_out_w"]) + cast(W[f"blk{bi}_out_b"])
+            if not deterministic and rate > 0.0 and dropout_rng is not None:
+                dropout_rng, k1 = jax.random.split(dropout_rng)
+                att = drop_path(att, rate, False, k1)
+            x = x + att
+            h = ln(x, W[f"blk{bi}_ln2_scale"], W[f"blk{bi}_ln2_bias"])
+            h = h @ cast(W[f"blk{bi}_mlp1_w"]) + cast(W[f"blk{bi}_mlp1_b"])
+            h = nn.gelu(h)
+            h = h @ cast(W[f"blk{bi}_mlp2_w"]) + cast(W[f"blk{bi}_mlp2_b"])
+            if not deterministic and rate > 0.0 and dropout_rng is not None:
+                dropout_rng, k2 = jax.random.split(dropout_rng)
+                h = drop_path(h, rate, False, k2)
+            x = x + h
+            bi += 1
+        outs.append(ln(x, W[f"level{lv}_ln_scale"], W[f"level{lv}_ln_bias"]))
+        if lv < len(depths) - 1:
+            x = conv3(x, W[f"down{lv}_w"], W[f"down{lv}_b"], stride=2)
+            x = ln(x, W[f"down{lv}_ln_scale"], W[f"down{lv}_ln_bias"])
+
+    laterals = [
+        conv3(outs[lv], W[f"lat{lv}_w"], W[f"lat{lv}_b"])
+        for lv in range(len(depths))
+    ]
+    for i in range(len(laterals) - 1, 0, -1):
+        tgt_len = laterals[i - 1].shape[-2]
+        up = jax.image.resize(
+            laterals[i],
+            laterals[i].shape[:-2] + (tgt_len, laterals[i].shape[-1]),
+            method="linear",
+        )
+        laterals[i - 1] = laterals[i - 1] + up
+    out = conv3(laterals[0], W["fpn_w"], W["fpn_b"])
+    return out[..., -1, :]  # last token
+
+
 class HistoryEncoder(nn.Module):
     """Temporal encoder for per-agent history vectors.
 
     Stands in for NATSequenceEncoder (reference layers/embedding.py:8-90):
     conv tokenizer, three banded-attention stages with stride-2 conv
     downsampling, FPN-style fusion, last-token readout.
+
+    Params are a FLAT dict (ops/history.py:weight_order) so the whole
+    forward can run as one fused Pallas kernel on TPU — ~150 tiny tensors'
+    worth of HBM tile padding collapses to one input read + one output
+    write. Off TPU (and under train-time drop-path) the jnp reference
+    path `history_forward_jnp` runs instead.
     """
 
     embed_dim: int = 32  # dim // 4
@@ -381,45 +510,99 @@ class HistoryEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         # x: (B, T, C_in)
-        x = nn.Conv(self.embed_dim, kernel_size=(3,), padding="SAME", dtype=self.dtype)(x)
-        outs = []
-        dim = self.embed_dim
-        total = sum(self.depths)
-        done = 0
-        for level, (depth, heads, win) in enumerate(
-            zip(self.depths, self.num_heads, self.windows)
-        ):
-            for d in range(depth):
-                rate = self.drop_path_rate * (done / max(total - 1, 1))
-                done += 1
-                x = LocalBlock(dim, heads, win, drop_path_rate=rate,
-                               dtype=self.dtype)(x, deterministic)
-            outs.append(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x))
-            if level < len(self.depths) - 1:
-                x = nn.Conv(dim * 2, kernel_size=(3,), strides=(2,),
-                            padding="SAME", dtype=self.dtype)(x)
-                x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
-                dim *= 2
-        # FPN: project all levels to the last dim, upsample-add, final conv
-        n_out = dim
-        laterals = [
-            nn.Conv(n_out, kernel_size=(3,), padding="SAME", dtype=self.dtype)(o)
-            for o in outs
-        ]
-        for i in range(len(laterals) - 1, 0, -1):
-            # linear interpolation like the reference's F.interpolate
-            # (embedding.py NATSequenceEncoder FPN)
-            tgt_len = laterals[i - 1].shape[-2]
-            up = jax.image.resize(
-                laterals[i],
-                laterals[i].shape[:-2] + (tgt_len, laterals[i].shape[-1]),
-                method="linear",
-            )
-            laterals[i - 1] = laterals[i - 1] + up
-        out = nn.Conv(n_out, kernel_size=(3,), padding="SAME", dtype=self.dtype)(
-            laterals[0]
+        from ...ops.history import block_dims, rpb_names, weight_order
+
+        C_in = x.shape[-1]
+        dims = block_dims(self.embed_dim)
+        nlv = len(self.depths)
+
+        def shp(name):
+            d = {
+                "conv0_w": (3, C_in, self.embed_dim),
+                "conv0_b": (self.embed_dim,),
+                "fpn_w": (3, dims[-1], dims[-1]),
+                "fpn_b": (dims[-1],),
+            }
+            if name in d:
+                return d[name]
+            if name.startswith("blk"):
+                i = int(name[3 : name.index("_")])
+                dd = dims[i]
+                suffix = name[name.index("_") + 1 :]
+                return {
+                    "ln1_scale": (dd,), "ln1_bias": (dd,),
+                    "qkv_w": (dd, 3 * dd), "qkv_b": (3 * dd,),
+                    "out_w": (dd, dd), "out_b": (dd,),
+                    "ln2_scale": (dd,), "ln2_bias": (dd,),
+                    "mlp1_w": (dd, 3 * dd), "mlp1_b": (3 * dd,),
+                    "mlp2_w": (3 * dd, dd), "mlp2_b": (dd,),
+                }[suffix]
+            if name.startswith("level"):
+                lv = int(name[5])
+                dd = dims[sum(self.depths[: lv + 1]) - 1]
+                return (dd,)
+            if name.startswith("down"):
+                lv = int(name[4])
+                din = dims[sum(self.depths[: lv + 1]) - 1]
+                if name.endswith("_w"):
+                    return (3, din, 2 * din)
+                return (2 * din,)
+            if name.startswith("lat"):
+                lv = int(name[3])
+                din = dims[sum(self.depths[: lv + 1]) - 1]
+                if name.endswith("_w"):
+                    return (3, din, dims[-1])
+                return (dims[-1],)
+            raise KeyError(name)
+
+        def init_for(name, shape):
+            if name.endswith(("_b", "_bias")) or "rpb" in name:
+                return nn.initializers.zeros
+            if name.endswith("_scale"):
+                return nn.initializers.ones
+            if name.endswith("_w") and len(shape) == 3:  # conv [k, in, out]
+                return nn.initializers.lecun_normal(
+                    in_axis=(0, 1), out_axis=2
+                )
+            return nn.initializers.lecun_normal()
+
+        W = {}
+        for name in weight_order(self.embed_dim):
+            s = shp(name)
+            W[name] = self.param(name, init_for(name, s), s)
+        bi = 0
+        for lv, depth in enumerate(self.depths):
+            for _ in range(depth):
+                W[f"blk{bi}_rpb"] = self.param(
+                    f"blk{bi}_rpb", nn.initializers.zeros,
+                    (self.num_heads[lv], 2 * self.windows[lv] - 1),
+                )
+                bi += 1
+
+        use_kernel = (
+            deterministic
+            and jax.default_backend() in ("tpu", "axon")
         )
-        return out[..., -1, :]  # last token
+        if use_kernel:
+            from ...ops.history import history_encoder_pallas
+
+            lead = x.shape[:-2]
+            flat = x.reshape((-1,) + x.shape[-2:])
+            out = history_encoder_pallas(
+                {k: v for k, v in W.items()}, flat, self.embed_dim
+            )
+            return out.reshape(lead + (dims[-1],)).astype(
+                self.dtype or jnp.float32
+            )
+        rng = (
+            self.make_rng("dropout")
+            if not deterministic and self.drop_path_rate > 0
+            else None
+        )
+        return history_forward_jnp(
+            W, x, self.embed_dim, self.depths, self.num_heads, self.windows,
+            self.drop_path_rate, deterministic, self.dtype, rng,
+        )
 
 
 class StateAttentionEncoder(nn.Module):

@@ -1,0 +1,224 @@
+"""Parity tests for the TPU-native E2E-AV ops (ops/e2e.py) against
+independent oracles: torch.nn.functional.grid_sample for the bilinear
+samplers, shapely for rotated-polygon geometry."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rift_tpu.ops.e2e import (
+    box_iou_rotated,
+    deformable_aggregation,
+    ms_deform_attn,
+    nms_rotated,
+    roi_align,
+    roi_align_rotated,
+    rotated_box_intersection,
+)
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+# ---------------------------------------------------------------------------
+# ms_deform_attn vs torch grid_sample reference
+# ---------------------------------------------------------------------------
+def test_ms_deform_attn_matches_torch_grid_sample():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    bs, heads, dim, Q, P = 2, 2, 4, 5, 3
+    shapes = [(6, 8), (3, 4)]
+    nk = sum(h * w for h, w in shapes)
+    value = rng.normal(size=(bs, nk, heads, dim)).astype(np.float32)
+    locs = rng.uniform(0.05, 0.95, size=(bs, Q, heads, len(shapes), P, 2)).astype(
+        np.float32
+    )
+    w = rng.uniform(size=(bs, Q, heads, len(shapes), P)).astype(np.float32)
+    w /= w.sum(axis=(3, 4), keepdims=True)
+
+    out = ms_deform_attn(jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(w))
+
+    # torch reference (multi_scale_deformable_attn_pytorch semantics)
+    tv = torch.from_numpy(value)
+    tl = torch.from_numpy(locs)
+    tw = torch.from_numpy(w)
+    split = [h * w_ for h, w_ in shapes]
+    value_list = tv.split(split, dim=1)
+    grids = 2 * tl - 1
+    sampled = []
+    for lvl, (h, w_) in enumerate(shapes):
+        v = (
+            value_list[lvl]
+            .flatten(2)
+            .transpose(1, 2)
+            .reshape(bs * heads, dim, h, w_)
+        )
+        g = grids[:, :, :, lvl].transpose(1, 2).flatten(0, 1)
+        s = F.grid_sample(v, g, mode="bilinear", padding_mode="zeros", align_corners=False)
+        sampled.append(s)
+    tw_ = tw.transpose(1, 2).reshape(bs * heads, 1, Q, len(shapes) * P)
+    ref = (
+        (torch.stack(sampled, dim=-2).flatten(-2) * tw_)
+        .sum(-1)
+        .view(bs, heads * dim, Q)
+        .transpose(1, 2)
+    )
+    np.testing.assert_allclose(_np(out), ref.numpy(), rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# rotated boxes vs shapely
+# ---------------------------------------------------------------------------
+def _np_corners(b):
+    cx, cy, w, h, a = b
+    c, s = np.cos(a), np.sin(a)
+    out = []
+    for dx, dy in ((w / 2, -h / 2), (w / 2, h / 2), (-w / 2, h / 2), (-w / 2, -h / 2)):
+        out.append((cx + dx * c - dy * s, cy + dx * s + dy * c))
+    return out
+
+
+def _np_clip_area(b1, b2):
+    """Dynamic-list Sutherland-Hodgman oracle (independent of the jnp
+    fixed-buffer implementation)."""
+    poly = _np_corners(b1)
+    clip = _np_corners(b2)
+    for i in range(4):
+        a = np.array(clip[i])
+        b = np.array(clip[(i + 1) % 4])
+        e = b - a
+        out = []
+        n = len(poly)
+        for j in range(n):
+            p = np.array(poly[j])
+            q = np.array(poly[(j + 1) % n])
+            sp = e[0] * (p[1] - a[1]) - e[1] * (p[0] - a[0])
+            sq = e[0] * (q[1] - a[1]) - e[1] * (q[0] - a[0])
+            if sp >= 0:
+                out.append(tuple(p))
+            if (sp >= 0) != (sq >= 0):
+                t = sp / (sp - sq)
+                out.append(tuple(p + (q - p) * t))
+        poly = out
+        if not poly:
+            return 0.0
+    area = 0.0
+    n = len(poly)
+    for j in range(n):
+        x1, y1 = poly[j]
+        x2, y2 = poly[(j + 1) % n]
+        area += x1 * y2 - y1 * x2
+    return abs(area) / 2
+
+
+def test_rotated_intersection_matches_numpy_oracle():
+    rng = np.random.default_rng(1)
+    for _ in range(40):
+        b1 = np.array(
+            [rng.uniform(-2, 2), rng.uniform(-2, 2), rng.uniform(1, 4),
+             rng.uniform(1, 4), rng.uniform(-np.pi, np.pi)], np.float32
+        )
+        b2 = np.array(
+            [rng.uniform(-2, 2), rng.uniform(-2, 2), rng.uniform(1, 4),
+             rng.uniform(1, 4), rng.uniform(-np.pi, np.pi)], np.float32
+        )
+        got = float(rotated_box_intersection(jnp.asarray(b1), jnp.asarray(b2)))
+        want = _np_clip_area(b1.astype(np.float64), b2.astype(np.float64))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_box_iou_rotated_identity_and_disjoint():
+    b = jnp.asarray([[0.0, 0.0, 2.0, 4.0, 0.3], [10.0, 10.0, 2.0, 2.0, 1.0]])
+    iou = box_iou_rotated(b, b)
+    np.testing.assert_allclose(_np(iou.diagonal()), [1.0, 1.0], atol=1e-5)
+    assert float(iou[0, 1]) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_nms_rotated_greedy():
+    boxes = jnp.asarray(
+        [
+            [0.0, 0.0, 4.0, 4.0, 0.0],
+            [0.5, 0.0, 4.0, 4.0, 0.0],  # heavy overlap with 0
+            [10.0, 0.0, 4.0, 4.0, 0.5],  # disjoint
+        ]
+    )
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    keep = nms_rotated(boxes, scores, iou_threshold=0.5)
+    np.testing.assert_array_equal(_np(keep), [True, False, True])
+    # order independence: best-scoring survives regardless of input order
+    keep2 = nms_rotated(boxes[::-1], scores[::-1], iou_threshold=0.5)
+    np.testing.assert_array_equal(_np(keep2), [True, False, True][::-1])
+
+
+# ---------------------------------------------------------------------------
+# RoIAlign vs manual bilinear oracle
+# ---------------------------------------------------------------------------
+def _bilinear_np(img, x, y):
+    H, W, C = img.shape
+    x0, y0 = int(np.floor(x)), int(np.floor(y))
+    out = np.zeros(C, np.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            xi, yi = x0 + dx, y0 + dy
+            wgt = (1 - abs(x - xi)) * (1 - abs(y - yi))
+            if 0 <= xi < W and 0 <= yi < H and wgt > 0:
+                out += img[yi, xi] * wgt
+    return out
+
+
+def test_roi_align_matches_oracle():
+    rng = np.random.default_rng(2)
+    img = rng.normal(size=(12, 16, 3)).astype(np.float32)
+    rois = np.array([[2.0, 3.0, 10.0, 9.0]], np.float32)
+    out = roi_align(jnp.asarray(img), jnp.asarray(rois), out_size=2, sampling_ratio=2)
+    # oracle
+    x1, y1, x2, y2 = rois[0]
+    bw, bh = (x2 - x1) / 2, (y2 - y1) / 2
+    want = np.zeros((2, 2, 3), np.float32)
+    for oy in range(2):
+        for ox in range(2):
+            acc = np.zeros(3, np.float32)
+            for sy in range(2):
+                for sx in range(2):
+                    px = x1 + (ox + (sx + 0.5) / 2) * bw - 0.5
+                    py = y1 + (oy + (sy + 0.5) / 2) * bh - 0.5
+                    acc += _bilinear_np(img, px, py)
+            want[oy, ox] = acc / 4
+    np.testing.assert_allclose(_np(out)[0], want, rtol=1e-4, atol=1e-4)
+
+
+def test_roi_align_rotated_zero_angle_matches_axis_aligned():
+    rng = np.random.default_rng(3)
+    img = rng.normal(size=(12, 16, 3)).astype(np.float32)
+    # rotated roi with angle 0 centered to match the axis-aligned box
+    rois_r = np.array([[6.0, 6.0, 8.0, 6.0, 0.0]], np.float32)
+    rois_a = np.array([[2.0, 3.0, 10.0, 9.0]], np.float32)
+    out_r = roi_align_rotated(jnp.asarray(img), jnp.asarray(rois_r), out_size=3)
+    out_a = roi_align(jnp.asarray(img), jnp.asarray(rois_a), out_size=3)
+    np.testing.assert_allclose(_np(out_r), _np(out_a), rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# SparseDrive deformable aggregation
+# ---------------------------------------------------------------------------
+def test_deformable_aggregation_reduces_over_cams_and_scales():
+    rng = np.random.default_rng(4)
+    bs, pts, C = 2, 6, 8
+    shapes = [[(4, 6), (2, 3)], [(4, 6), (2, 3)]]  # 2 cameras x 2 scales
+    nk = sum(h * w for cam in shapes for h, w in cam)
+    feat = rng.normal(size=(bs, nk, C)).astype(np.float32)
+    loc = rng.uniform(0.1, 0.9, size=(bs, pts, 2, 2, 2)).astype(np.float32)
+    w = rng.uniform(size=(bs, pts, 2, 2)).astype(np.float32)
+    out = deformable_aggregation(
+        jnp.asarray(feat), shapes, jnp.asarray(loc), jnp.asarray(w)
+    )
+    assert out.shape == (bs, pts, C)
+    assert np.isfinite(_np(out)).all()
+    # zero weights -> zero output
+    out0 = deformable_aggregation(
+        jnp.asarray(feat), shapes, jnp.asarray(loc), jnp.zeros_like(jnp.asarray(w))
+    )
+    np.testing.assert_allclose(_np(out0), 0.0, atol=1e-7)
