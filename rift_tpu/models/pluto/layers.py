@@ -427,10 +427,50 @@ def history_forward_jnp(
     x = conv3(cast(x), W["conv0_w"], W["conv0_b"])
     outs = []
     total = sum(depths)
+    # stage kernels are parity-tested but off by default: Mosaic compiles
+    # them in O(10 min) each and the level-2 block brushes the 16 MB VMEM
+    # ceiling — the fused-attention path below already captures most of the
+    # win. Flip on via RIFT_TPU_HISTORY_STAGE_KERNEL=1 to experiment.
+    import os
+
+    use_stage_kernel = (
+        deterministic
+        and os.environ.get("RIFT_TPU_HISTORY_STAGE_KERNEL") == "1"
+        and jax.default_backend() in ("tpu", "axon")
+    )
     bi = 0
     for lv, depth in enumerate(depths):
         H = num_heads[lv]
         n = x.shape[-2]
+        if use_stage_kernel and depth == 2:
+            from ...ops.history import (
+                _STAGE_WNAMES,
+                band_rpb_bias,
+                local_stage_pallas,
+            )
+
+            sw = tuple(
+                W[f"blk{b}_{nm}"]
+                for b in (bi, bi + 1)
+                for nm in _STAGE_WNAMES
+            )
+            b0 = band_rpb_bias(
+                W[f"blk{bi}_rpb"].astype(jnp.float32), n, windows[lv]
+            )
+            b1 = band_rpb_bias(
+                W[f"blk{bi + 1}_rpb"].astype(jnp.float32), n, windows[lv]
+            )
+            x = local_stage_pallas(
+                x.astype(jnp.float32), sw, b0, b1, H
+            ).astype(dt)
+            bi += 2
+            outs.append(
+                ln(x, W[f"level{lv}_ln_scale"], W[f"level{lv}_ln_bias"])
+            )
+            if lv < len(depths) - 1:
+                x = conv3(x, W[f"down{lv}_w"], W[f"down{lv}_b"], stride=2)
+                x = ln(x, W[f"down{lv}_ln_scale"], W[f"down{lv}_ln_bias"])
+            continue
         for _ in range(depth):
             rate = drop_path_rate * (bi / max(total - 1, 1))
             bias = band_rpb_bias(
@@ -438,18 +478,12 @@ def history_forward_jnp(
             )
             h = ln(x, W[f"blk{bi}_ln1_scale"], W[f"blk{bi}_ln1_bias"])
             D = h.shape[-1]
-            Dh = D // H
             qkv = h @ cast(W[f"blk{bi}_qkv_w"]) + cast(W[f"blk{bi}_qkv_b"])
-            qh = qkv[..., :D].reshape(h.shape[:-1] + (H, Dh))
-            kh = qkv[..., D : 2 * D].reshape(h.shape[:-1] + (H, Dh))
-            vh = qkv[..., 2 * D :].reshape(h.shape[:-1] + (H, Dh))
-            logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh).astype(
-                jnp.float32
-            ) / jnp.sqrt(Dh)
-            logits = logits + bias[None]
-            wgt = jax.nn.softmax(logits, axis=-1).astype(dt)
-            att = jnp.einsum("bhqk,bkhd->bqhd", wgt, vh).reshape(
-                h.shape[:-1] + (D,)
+            from ...ops.attention import fused_attention
+
+            att = fused_attention(
+                qkv[..., :D], qkv[..., D : 2 * D], qkv[..., 2 * D :],
+                bias, jnp.zeros((h.shape[0], h.shape[1]), jnp.float32), H,
             )
             att = att @ cast(W[f"blk{bi}_out_w"]) + cast(W[f"blk{bi}_out_b"])
             if not deterministic and rate > 0.0 and dropout_rng is not None:
@@ -579,10 +613,11 @@ class HistoryEncoder(nn.Module):
                 )
                 bi += 1
 
-        use_kernel = (
-            deterministic
-            and jax.default_backend() in ("tpu", "axon")
-        )
+        # the single fully-fused kernel OOMs the Mosaic compile helper at
+        # 6 blocks; until split per level, the jnp path (whose attentions
+        # already run through ops/attention.py's fused kernel) is the TPU
+        # path too
+        use_kernel = False
         if use_kernel:
             from ...ops.history import history_encoder_pallas
 

@@ -313,3 +313,76 @@ def history_encoder_pallas(
         interpret=interpret,
     )(x.astype(jnp.float32), *weights, *biases, *R_up)
     return out[:N]
+
+
+# ---------------------------------------------------------------------------
+# Per-level stage kernel: 2 LocalBlocks (LN -> attn -> +res -> LN -> MLP ->
+# +res) fused. The single whole-encoder kernel above OOMs the Mosaic compile
+# helper; one level (~50 ops) compiles in tens of seconds and still removes
+# every intermediate HBM round-trip inside the level.
+# ---------------------------------------------------------------------------
+_STAGE_WNAMES = (
+    "ln1_scale", "ln1_bias", "qkv_w", "qkv_b", "out_w", "out_b",
+    "ln2_scale", "ln2_bias", "mlp1_w", "mlp1_b", "mlp2_w", "mlp2_b",
+)
+
+
+def _stage_kernel(x_ref, *refs, num_heads):
+    n_w = 2 * len(_STAGE_WNAMES)
+    ws = [refs[i][:] for i in range(n_w)]
+    biases = [refs[n_w][:], refs[n_w + 1][:]]
+    out_ref = refs[-1]
+    x = x_ref[:]
+    for blk in range(2):
+        W = dict(zip(_STAGE_WNAMES, ws[blk * 12 : (blk + 1) * 12]))
+        h = _ln(x, W["ln1_scale"], W["ln1_bias"])
+        h = _attn(
+            h, W["qkv_w"], W["qkv_b"], W["out_w"], W["out_b"],
+            biases[blk], num_heads,
+        )
+        x = x + h
+        h = _ln(x, W["ln2_scale"], W["ln2_bias"])
+        h = jax.lax.dot_general(
+            h, W["mlp1_w"], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + W["mlp1_b"]
+        h = _gelu(h)
+        h = jax.lax.dot_general(
+            h, W["mlp2_w"], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + W["mlp2_b"]
+        x = x + h
+    out_ref[:] = x
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def local_stage_pallas(
+    x: jnp.ndarray,  # [N, T, D] float32
+    stage_weights: tuple,  # 24 arrays: _STAGE_WNAMES for block 0 then 1
+    bias0: jnp.ndarray,  # [H, T, T]
+    bias1: jnp.ndarray,
+    num_heads: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    N, T, D = x.shape
+    bb = BB
+    Np = _round_up(N, bb)
+    if Np != N:
+        x = jnp.pad(x, ((0, Np - N), (0, 0), (0, 0)))
+    ws = [w.astype(jnp.float32) for w in stage_weights]
+    full = lambda arr: pl.BlockSpec(
+        arr.shape, lambda i, _n=arr.ndim: (0,) * _n, memory_space=pltpu.VMEM
+    )
+    xspec = pl.BlockSpec((bb, T, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_stage_kernel, num_heads=num_heads),
+        out_shape=jax.ShapeDtypeStruct((Np, T, D), jnp.float32),
+        grid=(Np // bb,),
+        in_specs=[xspec] + [full(w) for w in ws] + [
+            full(bias0), full(bias1)
+        ],
+        out_specs=xspec,
+        interpret=interpret,
+    )(x.astype(jnp.float32), *ws, bias0.astype(jnp.float32),
+      bias1.astype(jnp.float32))
+    return out[:N]

@@ -200,3 +200,57 @@ def test_history_resize_matrix_matches_jax_image():
         eye = jnp.eye(src, dtype=jnp.float32)
         R_jax = np.asarray(jax.image.resize(eye, (dst, src), method="linear"))
         np.testing.assert_allclose(R, R_jax, rtol=1e-5, atol=1e-5)
+
+
+def test_local_stage_pallas_interpret_matches_blocks():
+    """The 2-LocalBlock stage kernel must equal the per-block jnp path."""
+    import jax
+
+    from rift_tpu.models.pluto.layers import HistoryEncoder, history_forward_jnp
+    from rift_tpu.ops.history import (
+        _STAGE_WNAMES,
+        band_rpb_bias,
+        local_stage_pallas,
+    )
+
+    rng = np.random.default_rng(13)
+    N, T, D, H = 7, 20, 32, 2
+    x = jnp.asarray(rng.normal(size=(N, T, D)).astype(np.float32))
+    m = HistoryEncoder(dtype=None)
+    params = m.init(jax.random.PRNGKey(1), jnp.zeros((2, T, 9)))["params"]
+    sw = tuple(params[f"blk{b}_{nm}"] for b in (0, 1) for nm in _STAGE_WNAMES)
+    b0 = band_rpb_bias(params["blk0_rpb"], T, 3)
+    b1 = band_rpb_bias(params["blk1_rpb"], T, 3)
+    out = local_stage_pallas(x, sw, b0, b1, H, interpret=True)
+
+    # per-block jnp reference
+    ref = x
+    for b in (0, 1):
+        W = {nm: params[f"blk{b}_{nm}"] for nm in _STAGE_WNAMES}
+        h32 = ref.astype(np.float32)
+        mu = h32.mean(-1, keepdims=True)
+        var = h32.var(-1, keepdims=True)
+        h = (h32 - mu) / np.sqrt(var + 1e-5) * W["ln1_scale"] + W["ln1_bias"]
+        qkv = h @ W["qkv_w"] + W["qkv_b"]
+        qh = np.asarray(qkv[..., :D]).reshape(N, T, H, D // H)
+        kh = np.asarray(qkv[..., D : 2 * D]).reshape(N, T, H, D // H)
+        vh = np.asarray(qkv[..., 2 * D :]).reshape(N, T, H, D // H)
+        bias = np.asarray(b0 if b == 0 else b1)
+        logits = np.einsum("bqhd,bkhd->bhqk", qh, kh) / np.sqrt(D // H)
+        logits = logits + bias[None]
+        logits -= logits.max(-1, keepdims=True)
+        wgt = np.exp(logits)
+        wgt /= wgt.sum(-1, keepdims=True)
+        att = np.einsum("bhqk,bkhd->bqhd", wgt, vh).reshape(N, T, D)
+        att = att @ np.asarray(W["out_w"]) + np.asarray(W["out_b"])
+        ref = np.asarray(ref) + att
+        mu = ref.mean(-1, keepdims=True)
+        var = ref.var(-1, keepdims=True)
+        h = (ref - mu) / np.sqrt(var + 1e-5) * np.asarray(W["ln2_scale"]) + np.asarray(W["ln2_bias"])
+        h = h @ np.asarray(W["mlp1_w"]) + np.asarray(W["mlp1_b"])
+        c = np.sqrt(2.0 / np.pi)
+        h = 0.5 * h * (1.0 + np.tanh(c * (h + 0.044715 * h**3)))
+        h = h @ np.asarray(W["mlp2_w"]) + np.asarray(W["mlp2_b"])
+        ref = ref + h
+        ref = jnp.asarray(ref.astype(np.float32))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
