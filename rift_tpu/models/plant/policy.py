@@ -26,8 +26,13 @@ DETECTION_RADIUS = 30.0
 TARGET_POINT_AHEAD = 30.0
 
 
-def build_plant_tokens(spec: ScenarioSpec, state: SimState):
-    """Returns (tokens [S, O, 7], target_point [S, 2], light_hazard [S, 1])."""
+def build_plant_tokens(
+    spec: ScenarioSpec, state: SimState, return_vehicle_index: bool = False
+):
+    """Returns (tokens [S, O, 7], target_point [S, 2], light_hazard [S, 1])
+    and, with `return_vehicle_index`, the agent slot behind each vehicle
+    token [S, MAX_VEHICLE_TOKENS] (-1 for padding) — the recognition scorer
+    scatters attention back through it."""
     S, A = state.alive.shape
 
     def one(scenario):
@@ -96,10 +101,15 @@ def build_plant_tokens(spec: ScenarioSpec, state: SimState):
 
         tp_idx = jnp.minimum(cursor + jnp.int32(TARGET_POINT_AHEAD), n - 1)
         target_point = to_local(route[tp_idx])
-        return tokens, target_point
+        vid = jnp.where(valid, idx, -1)
+        if k < MAX_VEHICLE_TOKENS:
+            vid = jnp.pad(vid, (0, MAX_VEHICLE_TOKENS - k), constant_values=-1)
+        return tokens, target_point, vid
 
-    tokens, target = jax.vmap(one)(jnp.arange(S))
+    tokens, target, vid = jax.vmap(one)(jnp.arange(S))
     light = jnp.zeros((S, 1))  # all-green assumption, like the CBV features
+    if return_vehicle_index:
+        return tokens, target, light, vid
     return tokens, target, light
 
 

@@ -36,16 +36,23 @@ class CollectBuffer:
             "pos": np.asarray(state.pos),
             "heading": np.asarray(state.heading),
             "speed": np.asarray(state.speed),
+            "shape": np.asarray(state.shape),
             "control": np.asarray(state.control),
             "rl_action": np.asarray(control_to_rl_action(state.control)),
             "alive": np.asarray(state.alive),
             "is_cbv": np.asarray(state.is_cbv),
             "collision": np.asarray(state.collision),
+            "ego_route_cursor": np.asarray(state.ego_route_cursor),
             "tick": np.asarray(state.tick),
         }
         if extra:
             rec.update({k: np.asarray(v) for k, v in extra.items()})
         self.frames.append(rec)
+
+    def set_static(self, static: dict):
+        """Episode-static arrays saved once (e.g. the ego route — needed
+        to rebuild PlanT tokens offline, models/plant/train.py)."""
+        self._static = {k: np.asarray(v) for k, v in static.items()}
 
     def save(self) -> str:
         import h5py
@@ -59,6 +66,8 @@ class CollectBuffer:
             for k in keys:
                 data = np.stack([fr[k] for fr in self.frames])
                 f.create_dataset(k, data=data, compression="gzip")
+            for k, v in getattr(self, "_static", {}).items():
+                f.create_dataset(f"static_{k}", data=v, compression="gzip")
             f.attrs["num_ticks"] = len(self.frames)
         self.frames = []
         return self.h5_path

@@ -253,6 +253,9 @@ def train_classic_cbv_episode(env, ego, cbv, state, crit, spec, max_ticks):
 
 def collect_episode(env, ego, cbv, state, crit, spec, max_ticks, buffer):
     """Store per-tick SimState snapshots (reference collect_buffer.py:130)."""
+    buffer.set_static(
+        {"ego_route": spec.ego_route, "ego_route_len": spec.ego_route_len}
+    )
 
     def on_tick(prev_state, state, crit_now, ego_out, cbv_out):
         buffer.store(state)
@@ -281,6 +284,10 @@ def main(argv=None):
     p.add_argument("--repetitions", type=int, default=1)
     p.add_argument("--out_dir", default="log")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--render", action="store_true",
+                   help="record a BEV GIF of scenario 0 with the executed "
+                        "CBV trajectories overlaid (visualization/: "
+                        "bev_render.py + nuplan_scenario_render.py)")
     p.add_argument("overrides", nargs="*", help="hydra-style key=value")
     args = p.parse_args(argv)
 
@@ -395,16 +402,53 @@ def main(argv=None):
                 env, ego, cbv, state, crit, spec, args.max_ticks, collect_buffer
             )
         else:
+            on_tick = None
+            recorder = None
+            if args.render:
+                from .viz import VideoRecorder
+
+                recorder = VideoRecorder(
+                    env.tmap, os.path.join(out_dir, f"video_ep{ep}"),
+                    every_n_ticks=5,
+                )
+                route0 = np.asarray(spec.ego_route)[0, : int(spec.ego_route_len[0]), :2]
+
+                def on_tick(prev_state, st, crit_now, ego_out, cbv_out):
+                    cands = None
+                    if "traj" in cbv_out:
+                        # executed CBV trajectories, local -> world frame
+                        mask = np.asarray(cbv_out["mask"][0])
+                        if mask.any():
+                            tr = np.asarray(cbv_out["traj"][0][mask])  # [K, T, 2]
+                            hd = np.asarray(prev_state.heading[0])[mask]
+                            ps = np.asarray(prev_state.pos[0])[mask]
+                            c, s = np.cos(hd)[:, None], np.sin(hd)[:, None]
+                            cands = np.stack(
+                                [
+                                    tr[..., 0] * c - tr[..., 1] * s + ps[:, None, 0],
+                                    tr[..., 0] * s + tr[..., 1] * c + ps[:, None, 1],
+                                ],
+                                axis=-1,
+                            )
+                    recorder.maybe_capture(st, 0, route=route0, candidates=cands)
+
             state, crit = run_episode(
                 env, ego, cbv, state, crit, spec, args.max_ticks,
-                train=train_cbv_mode,
+                train=train_cbv_mode, on_tick=on_tick,
             )
+            if recorder is not None:
+                print(f"episode {ep}: wrote {recorder.save(f'ep{ep}')}")
             if train_cbv_mode and hasattr(cbv, "buffer_full") and cbv.buffer_full():
                 losses = cbv.train_round()
                 print(f"episode {ep}: fine-tune losses {losses}")
                 if hasattr(cbv, "save"):
                     cbv.save(ckpt, ep)
         stats.register_episode(crit, state, spec)
+        # live, human-readable status (statistics_manager.py:306-423
+        # write_live_results semantics)
+        from .utils.logger import Logger
+
+        Logger(out_dir).write_live_results(stats.live_results_text())
         print(
             f"episode {ep}: DS="
             f"{np.mean([r.driving_score for r in stats.records[-args.num_scenario:]]):.1f}"

@@ -403,6 +403,46 @@ class StatisticsManager:
         }
 
     # ------------------------------------------------------------------
+    def live_results_text(self) -> str:
+        """Human-readable progress dump (statistics_manager.py:306-423
+        write_live_results): per-route table + running averages."""
+        lines = [
+            f"{'idx':>4} {'route':<18} {'status':<12} {'DS':>6} {'RC%':>6} "
+            f"{'pen':>5}  infractions",
+        ]
+        for r in self.records:
+            inf = []
+            if r.collisions_vehicle:
+                inf.append(f"veh x{r.collisions_vehicle}")
+            if r.collisions_pedestrian:
+                inf.append(f"ped x{r.collisions_pedestrian}")
+            if r.collisions_static:
+                inf.append(f"static x{r.collisions_static}")
+            if r.red_light:
+                inf.append(f"red x{r.red_light}")
+            if r.stop_infraction:
+                inf.append(f"stop x{r.stop_infraction}")
+            if r.blocked:
+                inf.append("blocked")
+            if r.route_deviation:
+                inf.append("deviation")
+            if r.timeout:
+                inf.append("timeout")
+            lines.append(
+                f"{r.index:>4} {r.route_id:<18.18} {r.status:<12.12} "
+                f"{r.driving_score:>6.1f} {r.route_completion:>6.1f} "
+                f"{r.infraction_penalty:>5.2f}  {', '.join(inf) or '-'}"
+            )
+        if self.records:
+            n = len(self.records)
+            avg_ds = sum(r.driving_score for r in self.records) / n
+            avg_rc = sum(r.route_completion for r in self.records) / n
+            lines.append("-" * 64)
+            lines.append(
+                f"routes {n}  avg DS {avg_ds:.2f}  avg RC {avg_rc:.2f}"
+            )
+        return "\n".join(lines) + "\n"
+
     def save(self, path: str | None = None):
         path = path or self.checkpoint_path
         if not path:

@@ -12,3 +12,22 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Long single-process runs accumulate hundreds of compiled CPU
+    executables; late tests have segfaulted inside dispatch (observed at
+    test_runner after ~140 tests). Dropping the in-memory executable cache
+    between modules keeps the process lean — recompiles hit the on-disk
+    compilation cache."""
+    yield
+    import jax
+
+    jax.clear_caches()
+    gc.collect()
