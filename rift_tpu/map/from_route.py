@@ -154,9 +154,17 @@ def _route_lanes(
     speed_limit: float,
     light_group_base: int,
     cross_roads: bool = True,
+    stop_ratio: float = 0.0,
 ):
     """Lane dicts for one route: corridor sections + signalised junctions
-    with cross roads at corners. Returns (lanes, primary_keys, n_junctions)."""
+    with cross roads at corners. Returns (lanes, primary_keys, n_junctions).
+
+    `stop_ratio` > 0 converts that fraction of junctions (deterministically,
+    every round(1/ratio)-th, matching map/synthetic.py) to all-way-stop:
+    connectors lose the light phase and every approach lane — the route's
+    own and the cross road's — gets a stop line at its end
+    (`TensorMap.stop_lane`; CARLA's `traffic.stop` trigger volumes,
+    atomic_criteria.py:1806)."""
     pts = _resample(keypoints)
     corners = _find_corners(pts)
     cut = int(JUNCTION_RADIUS / RESAMPLE_M)
@@ -185,9 +193,11 @@ def _route_lanes(
         rid += 200
 
     # junctions between consecutive sections
+    stop_every = int(round(1.0 / stop_ratio)) if stop_ratio > 0 else 0
     table = by_key()
     for j, c in enumerate(corners):
-        group = light_group_base + 2 * j
+        is_stop_junction = stop_every > 0 and j % stop_every == 0
+        group = -1 if is_stop_junction else light_group_base + 2 * j
         _, prev_last = section_ends[j]
         next_first, _ = section_ends[j + 1]
         h_in = _headings(pts)[max(c - cut, 0)]
@@ -218,6 +228,8 @@ def _route_lanes(
                 )
             )
             table[a].setdefault("successors", []).append((conn_rid, lane_id))
+            if is_stop_junction:
+                table[a]["stop"] = True
             table[(conn_rid, lane_id)] = lanes[-1]
             if li == 0:
                 # splice the connector into the primary driving order,
@@ -260,6 +272,7 @@ def _route_lanes(
                         if li + 1 < num_lanes
                         else None,
                         speed_limit=speed_limit,
+                        stop=is_stop_junction,
                     )
                 )
                 lanes.append(
@@ -275,7 +288,8 @@ def _route_lanes(
                         left_adj=None,
                         right_adj=None,
                         speed_limit=speed_limit,
-                        light_group=group + 1,  # opposing phase to the route
+                        # opposing phase to the route; -1 = all-way stop
+                        light_group=-1 if is_stop_junction else group + 1,
                     )
                 )
                 lanes.append(
@@ -307,6 +321,7 @@ def map_from_routes(
     speed_limit: float = 14.0,
     pad_lanes_to: int | None = None,
     cross_roads: bool = True,
+    stop_ratio: float = 0.0,
 ):
     """One TensorMap covering every route in the batch.
 
@@ -321,6 +336,7 @@ def map_from_routes(
         lanes, keys, n_junc = _route_lanes(
             kp, ri * ROAD_ID_STRIDE, num_lanes, lane_width, speed_limit,
             light_group_base=lg_base, cross_roads=cross_roads,
+            stop_ratio=stop_ratio,
         )
         lg_base += 2 * n_junc
         all_lanes.extend(lanes)

@@ -154,25 +154,36 @@ def fit_plant(
     return params, losses
 
 
+def plant_attn_scores(model: PlanTModel, params, spec: ScenarioSpec, state: SimState):
+    """[S, A] per-agent relevance: the PlanT CLS-attention over vehicle
+    tokens, scattered back to agent slots (reference attn_cbv.py:20-30 ranks
+    candidates the same way). Traceable — callable inside env_step's
+    recognition cond with `params` as a traced pytree."""
+    S, A = state.alive.shape
+    tokens, target, light, veh_idx = build_plant_tokens(
+        spec, state, return_vehicle_index=True
+    )
+    out = model.apply(params, tokens, target, light)
+    att = out["attn_scores"][:, :MAX_VEHICLE_TOKENS]  # vehicle tokens
+    scores = jnp.full((S, A), -jnp.inf)
+    s_ix = jnp.arange(S)[:, None]
+    scores = scores.at[s_ix, jnp.maximum(veh_idx, 0)].max(
+        jnp.where(veh_idx >= 0, att, -jnp.inf)
+    )
+    return scores
+
+
+# canonical flat-npz params format (shared with the Pluto pretrain artifact)
+from ...utils.params_io import load_params_npz as load_plant_params  # noqa: E402
+from ...utils.params_io import save_params_npz as save_plant_params  # noqa: E402
+
+
 def make_attn_scores_fn(model: PlanTModel, params, spec: ScenarioSpec):
-    """Returns `attn_scores_fn(state) -> [S, A]` for attn_recognize_cbvs:
-    the PlanT CLS-attention over vehicle tokens, scattered back to agent
-    slots (reference attn_cbv.py:20-30 ranks candidates the same way)."""
+    """Returns `attn_scores_fn(state) -> [S, A]` for attn_recognize_cbvs."""
 
     @partial(jax.jit, static_argnames=())
     def scores_fn(state: SimState) -> jnp.ndarray:
-        S, A = state.alive.shape
-        tokens, target, light, veh_idx = build_plant_tokens(
-            spec, state, return_vehicle_index=True
-        )
-        out = model.apply(params, tokens, target, light)
-        att = out["attn_scores"][:, :MAX_VEHICLE_TOKENS]  # vehicle tokens
-        scores = jnp.full((S, A), -jnp.inf)
-        s_ix = jnp.arange(S)[:, None]
-        scores = scores.at[s_ix, jnp.maximum(veh_idx, 0)].max(
-            jnp.where(veh_idx >= 0, att, -jnp.inf)
-        )
-        return scores
+        return plant_attn_scores(model, params, spec, state)
 
     return scores_fn
 
@@ -201,10 +212,7 @@ def main(argv=None):
         model, params, dataset, lr=args.lr, epochs=args.epochs
     )
     print("losses:", [round(l, 4) for l in losses])
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    np.savez(args.out, **{
-        "/".join(str(k) for k in path): np.asarray(v) for path, v in flat
-    })
+    save_plant_params(params, args.out)
     print("saved", args.out)
     return losses
 

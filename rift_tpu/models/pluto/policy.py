@@ -30,6 +30,11 @@ from .features import build_cbv_features
 TOPK = 10  # reference config rift_pluto.yaml topk
 REF_FREE_SCORE = 0.25
 NUM_NEIGHBORS = 8  # forecast neighbors per CBV in train mode
+TEACHER_HORIZON_S = 4.0  # teacher pose lookahead (evaluator's 40 frames)
+TEACHER_NUM_FRAMES = 80  # full candidate horizon (8 s at 10 fps)
+TEACHER_HORIZON_STEP = 39  # frame 40 = 4 s (waypoint i is frame i+1)
+# BC supervision frames: every 8th of the 80-step candidate horizon
+BC_FRAME_IDX = tuple(range(7, 80, 8))
 
 
 def select_trajectory(out: dict, topk: int = TOPK):
@@ -156,6 +161,26 @@ def pluto_cbv_act(
         result["teacher_speed"] = jnp.take_along_axis(
             v_teacher_all, slot, axis=1
         )
+        # privileged teacher TRAJECTORY: the autopilot's lane-chain follow at
+        # its IDM target speed, in the CBV's local frame — the pose half of
+        # the reference teacher's pose+speed candidate match
+        # (sft_trainer.py:182-215 generate_target_label) and the regression
+        # target for the bootstrap BC pretrain (policies.BCPlutoPolicy)
+        from ...sim.autopilot import lane_follow_waypoints
+
+        scen0 = jnp.arange(S)[:, None]
+        v_t_sl = result["teacher_speed"]  # [S, C]
+        teacher_wp = lane_follow_waypoints(
+            tmap,
+            state.lane[scen0, slot],
+            state.pos[scen0, slot],
+            state.heading[scen0, slot],
+            state.bv_branch_bits[scen0, slot],
+            jnp.maximum(v_t_sl * 0.1, 1e-3),
+            num_points=TEACHER_NUM_FRAMES,
+        )  # [S, C, 80, 2] local frame, point i = frame i+1
+        result["teacher_pos"] = teacher_wp[..., TEACHER_HORIZON_STEP, :]
+        result["teacher_traj"] = teacher_wp[:, :, jnp.asarray(BC_FRAME_IDX), :]
         # desired speed implied by the executed trajectory (the PID tracker's
         # desired speed = mean waypoint spacing / dt, pid_controller.py:57-76)
         step_d = jnp.linalg.norm(jnp.diff(wp_sc[:, :, :10], axis=2), axis=-1)
@@ -197,6 +222,8 @@ def pluto_cbv_act(
         result["rollout_return"] = jnp.zeros((S, C, R, M))
         result["value"] = jnp.zeros((S, C))
         result["teacher_speed"] = jnp.zeros((S, C))
+        result["teacher_pos"] = jnp.zeros((S, C, 2))
+        result["teacher_traj"] = jnp.zeros((S, C, len(BC_FRAME_IDX), 2))
         result["exec_speed"] = jnp.zeros((S, C))
 
     return result

@@ -1,3 +1,1 @@
-from .lane_query import lane_min_dist2
-
-__all__ = ["lane_min_dist2"]
+"""TPU kernels (Pallas) and XLA-composite ops for the hot paths."""

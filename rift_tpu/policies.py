@@ -112,6 +112,22 @@ class PlutoPolicy:
             self.params = params
         return ep
 
+    def load_pretrain(self, npz_path: str):
+        """Load a canonical pretrained Pluto npz (utils/params_io format) —
+        the `pluto_1M_aux_cil.ckpt` load path of the reference
+        (rift/cbv/planning/pluto/pluto.py:130-137). Keys absent from the
+        file (e.g. ppo_pluto's value head) keep their fresh init. Call
+        after `maybe_init` (needs the params template)."""
+        from .utils.params_io import load_params_npz, merge_params
+
+        assert self.params is not None, "call maybe_init first"
+        self.params = merge_params(self.params, load_params_npz(npz_path))
+
+    def save_pretrain(self, npz_path: str):
+        from .utils.params_io import save_params_npz
+
+        save_params_npz(self.params, npz_path)
+
 
 class _FineTunedPluto(PlutoPolicy):
     """Shared machinery of the fine-tuned family (RLFTPluto equivalent)."""
@@ -123,15 +139,23 @@ class _FineTunedPluto(PlutoPolicy):
         super().__init__(tmap, cfg, **kw)
         cfg = cfg or {}
         self.buffer = None
-        self.train_cfg = cfg.get("train", TrainConfig())
+        tc = cfg.get("train", TrainConfig())
+        if isinstance(tc, dict):  # yaml configs carry a plain dict
+            fields = TrainConfig.__dataclass_fields__
+            tc = TrainConfig(**{
+                k: (tuple(v) if k == "trainable_prefixes" else v)
+                for k, v in tc.items() if k in fields
+            })
+        self.train_cfg = tc
+        self.buffer_capacity = cfg.get("buffer_capacity", self.buffer_capacity)
         self.train_rounds = 0
         self.ref_params = None  # frozen pretrain copy (GRPO)
 
     # what lands in the ring buffer (rollout.rollout_chunk extras keys)
     SAMPLE_KEYS = (
         "old_logits", "advantage", "valid", "rollout_return", "chosen_idx",
-        "teacher_speed", "value", "reward", "ret", "ret_shaped", "gae",
-        "gae_valid",
+        "teacher_speed", "teacher_pos", "teacher_traj", "value", "reward",
+        "ret", "ret_shaped", "gae", "gae_valid",
     )
 
     def store_chunk(self, extras):
@@ -153,12 +177,21 @@ class _FineTunedPluto(PlutoPolicy):
     def _loss_fn(self, params, batch, rng):
         raise NotImplementedError
 
+    def load_pretrain(self, npz_path: str):
+        """Fine-tuned variants also anchor GRPO's KL reference to the
+        pretrain (grpo_trainer.py:140-196 penalises KL to the PRETRAINED
+        policy, not to whatever the params were at the first update)."""
+        super().load_pretrain(npz_path)
+        self.ref_params = self.params
+
     def train_round(self, rng=None):
         if self.buffer is None or int(self.buffer.size) == 0:
             return []
         rng = rng if rng is not None else jax.random.PRNGKey(self.train_rounds)
         if self.ref_params is None:
-            self.ref_params = self.params  # snapshot before first update
+            # fallback when no pretrain was loaded: snapshot before the
+            # first update (KL-to-init; load_pretrain anchors it properly)
+            self.ref_params = self.params
         self.params, losses = fit(
             self.params, self.buffer, self._loss_fn, self.train_cfg, rng,
             round_idx=self.train_rounds,
@@ -209,14 +242,38 @@ def _candidate_speeds(trajectory: jnp.ndarray, dt: float = 0.1):
     return step_d.mean(-1) / dt
 
 
-def _teacher_label(prob, r_pad, trajectory, teacher_speed):
-    """Flattened R*M teacher index (sft_trainer.py:182-215): keep the model's
-    best reference line, pick the mode whose implied speed is closest to the
-    privileged teacher's IDM target speed."""
+TEACHER_HORIZON_STEP = 39  # candidate waypoint compared to the teacher pose
+TEACHER_SPEED_WEIGHT = 2.0  # m per (m/s) of speed mismatch in the score
+
+
+def _teacher_label(prob, r_pad, trajectory, teacher_speed, teacher_pos=None):
+    """Flattened R*M teacher index (sft_trainer.py:182-215
+    generate_target_label): the candidate matching the privileged
+    AutoPilot's POSE and SPEED.
+
+    With `teacher_pos` ([bs, 2] local-frame pose the teacher reaches at the
+    4 s horizon along its own route): score every candidate by its
+    horizon-waypoint distance to that pose plus a weighted implied-speed
+    mismatch, argmin over all valid R*M — so a candidate that turns off the
+    teacher's road loses to one that follows it even at a worse speed.
+    Without it (legacy r1 label): keep the model's best reference line and
+    pick the speed-closest mode."""
     bs, R, M = prob.shape
+    cand_speed = _candidate_speeds(trajectory)  # [bs, R, M]
+    if teacher_pos is not None:
+        T = trajectory.shape[-2]
+        step = min(TEACHER_HORIZON_STEP, T - 1)
+        cand_end = trajectory[..., step, :2]  # [bs, R, M, 2]
+        pose_d = jnp.linalg.norm(
+            cand_end - teacher_pos[:, None, None], axis=-1
+        )
+        score = pose_d + TEACHER_SPEED_WEIGHT * jnp.abs(
+            cand_speed - teacher_speed[:, None, None]
+        )
+        score = jnp.where(r_pad[:, :, None], jnp.inf, score)
+        return jnp.argmin(score.reshape(bs, -1), axis=-1)
     masked = jnp.where(r_pad[:, :, None], -1e8, prob).reshape(bs, -1)
     best_r = jnp.argmax(masked, axis=-1) // M
-    cand_speed = _candidate_speeds(trajectory)  # [bs, R, M]
     speed_at_r = jnp.take_along_axis(
         cand_speed, best_r[:, None, None].repeat(M, -1), axis=1
     )[:, 0]  # [bs, M]
@@ -269,12 +326,66 @@ class SFTPlutoPolicy(_FineTunedPluto):
         bs = out["probability"].shape[0]
         teacher = _teacher_label(
             out["probability"], r_pad, out["trajectory"],
-            batch["teacher_speed"],
+            batch["teacher_speed"], batch.get("teacher_pos"),
         )
         return sft_loss(
             out["probability"], r_pad, teacher,
             batch["valid"].reshape(bs, -1).any(-1),
         )
+
+
+class BCPlutoPolicy(_FineTunedPluto):
+    """'bc_pluto' — bootstrap behavior-cloning PRETRAIN of the full model.
+
+    The reference's `pluto` row starts from `pluto_1M_aux_cil.ckpt`, a
+    nuPlan-1M imitation pretrain (rift/cbv/planning/pluto/pluto.py:130-137)
+    that is not shipped. This policy is the on-device bootstrap equivalent
+    (VERDICT r1 item 1b): every layer trains (not just pi_head) to imitate
+    the privileged lane-follow teacher —
+      * winner-takes-all regression: the candidate closest to the teacher
+        trajectory is pulled onto it (the CIL objective shape of the Pluto
+        paper's pretraining),
+      * selection cross-entropy toward that winning candidate,
+      * ref-free-head regression toward the teacher trajectory.
+    The result (`save_pretrain`) seeds the whole fine-tune zoo via
+    `load_pretrain` (tools/quality_experiment.py)."""
+
+    name = "bc_pluto"
+    type = "il"
+
+    def __init__(self, tmap, cfg=None, **kw):
+        super().__init__(tmap, cfg, **kw)
+        if not (cfg or {}).get("train"):
+            # default: train the FULL model, more epochs, no CL decay
+            self.train_cfg = self.train_cfg.replace(
+                trainable_prefixes=(), cl_lr_decay=1.0, lr=3e-4
+            )
+
+    def _loss_fn(self, params, batch, rng):
+        from .models.pluto.policy import BC_FRAME_IDX
+
+        out = self.model.apply(params, batch["features"])
+        r_pad = ~batch["features"]["reference_line"]["valid_mask"].any(-1)
+        bs, R, M = out["probability"].shape
+        frames = jnp.asarray(BC_FRAME_IDX)
+        cand = out["trajectory"][..., frames, :2]  # [bs, R, M, F, 2]
+        tt = batch["teacher_traj"]  # [bs, F, 2]
+        ade = jnp.linalg.norm(cand - tt[:, None, None], axis=-1).mean(-1)
+        ade = jnp.where(r_pad[:, :, None], jnp.inf, ade)  # [bs, R, M]
+        flat_ade = ade.reshape(bs, -1)
+        target = jnp.argmin(flat_ade, axis=-1)
+        wta = jnp.take_along_axis(flat_ade, target[:, None], axis=1)[:, 0]
+        w = (batch["valid"].reshape(bs, -1).any(-1) & jnp.isfinite(wta)).astype(
+            jnp.float32
+        )
+        n = jnp.maximum(w.sum(), 1.0)
+        reg = jnp.sum(jnp.where(w > 0, wta, 0.0)) / n
+        ce = sft_loss(out["probability"], r_pad, target, w > 0)
+        rf = out["output_ref_free_trajectory"][..., frames, :2]  # [bs, F, 2]
+        rf_reg = (
+            jnp.sum(jnp.linalg.norm(rf - tt, axis=-1).mean(-1) * w) / n
+        )
+        return reg + ce + 0.5 * rf_reg
 
 
 class RTRPlutoPolicy(_FineTunedPluto):
@@ -310,7 +421,8 @@ class RTRPlutoPolicy(_FineTunedPluto):
         bs = prob.shape[0]
         surrogate, _ = self._ppo_term(prob, r_pad, batch)
         teacher = _teacher_label(
-            prob, r_pad, out["trajectory"], batch["teacher_speed"]
+            prob, r_pad, out["trajectory"], batch["teacher_speed"],
+            batch.get("teacher_pos"),
         )
         teacher_ce = sft_loss(
             prob, r_pad, teacher, batch["valid"].reshape(bs, -1).any(-1)
@@ -460,6 +572,7 @@ CBV_POLICY_LIST: dict[str, Callable] = {
     "frea": FREAPolicy,
     "fppo_rs": FPPORsPolicy,
     "pluto": PlutoPolicy,
+    "bc_pluto": BCPlutoPolicy,
     "sft_pluto": SFTPlutoPolicy,
     "rtr_pluto": RTRPlutoPolicy,
     "rs_pluto": RSPlutoPolicy,

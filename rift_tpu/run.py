@@ -82,6 +82,57 @@ def _ego_act(ego, spec, state, train):
 
 FLUSH_K = 16  # fine-tune extras window (returns/GAE horizon per flush)
 
+# egos whose waypoint fns run inside rollout_chunk's scan (fused CLI path)
+FUSED_EGO_KIND = {
+    "pdm_lite": "pdm",
+    "expert": "pdm",
+    "behavior": "rule",
+    "plant": "plant",
+}
+FUSED_CHUNK = 20  # ticks per fused device program
+
+
+def run_episode_fused(
+    env, ego, cbv, state, crit, spec, max_ticks, train=False,
+    chunk=FUSED_CHUNK,
+):
+    """Fused tick loop: policy-act + env-step scanned `chunk` ticks per
+    device dispatch (rollout.rollout_chunk) — the CLI reaches the same
+    throughput as bench.py instead of paying a host round-trip per tick.
+    Usable whenever no per-tick host callback is needed (no --render /
+    collect) and the ego is in FUSED_EGO_KIND."""
+    from .rollout import rollout_chunk
+
+    ego_kind = FUSED_EGO_KIND[ego.name]
+    ego_model = ego_params = None
+    if ego_kind == "plant":
+        if ego.params is None:
+            ego.act(spec, state)  # lazy init
+        ego_model, ego_params = ego.model, ego.params
+
+    with_policy = hasattr(cbv, "model")  # Pluto family
+    if with_policy and hasattr(cbv, "maybe_init"):
+        cbv.maybe_init(spec, state)
+    train_extras = train and with_policy and getattr(cbv, "trainable", False)
+    store = getattr(cbv, "store_chunk", None) if train_extras else None
+
+    n_chunks = max((max_ticks + chunk - 1) // chunk, 1)
+    for _ in range(n_chunks):
+        state, crit, extras = rollout_chunk(
+            cbv.model if with_policy else None,
+            cbv.params if with_policy else None,
+            env.tmap, spec, state, crit,
+            max_cbvs=env.max_cbvs, num_steps=chunk,
+            train=train_extras, with_policy=with_policy,
+            ego=ego_kind, ego_model=ego_model, ego_params=ego_params,
+            recog_model=env.recog_model, recog_params=env.recog_params,
+        )
+        if store is not None and extras is not None:
+            store(extras)
+        if env.all_done(crit):
+            break
+    return state, crit
+
 
 def run_episode(
     env, ego, cbv, state, crit, spec, max_ticks,
@@ -284,6 +335,37 @@ def main(argv=None):
     p.add_argument("--repetitions", type=int, default=1)
     p.add_argument("--out_dir", default="log")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--num_walkers", type=int, default=-1,
+                   help="crossing pedestrians per scenario (-1 = auto: 2 in "
+                        "eval, 0 otherwise) — exercises the 0.5-penalty "
+                        "collision class (statistics_manager.py:27-44)")
+    p.add_argument("--num_statics", type=int, default=-1,
+                   help="static obstacles per scenario (-1 = auto: 2 in "
+                        "eval, 0 otherwise) — the 0.65-penalty class")
+    p.add_argument("--stop_ratio", type=float, default=0.25,
+                   help="fraction of route-map junctions converted to "
+                        "all-way-stop (stop-sign criteria, penalty 0.8)")
+    p.add_argument("--cbv_recog", default="rule",
+                   choices=["rule", "attention"],
+                   help="CBV recognition (CBV_RECOGNITION_LIST equivalent): "
+                        "rule interaction matching or the PlanT attention "
+                        "scorer (attn_cbv.py:20-30)")
+    p.add_argument("--recog_weights", default="",
+                   help="npz of trained PlanT scorer params "
+                        "(models/plant/train.py) for --cbv_recog attention")
+    p.add_argument("--pretrain", default="",
+                   help="npz of pretrained Pluto params (utils/params_io "
+                        "format) loaded into the Pluto-family CBV before "
+                        "running — the reference's pluto_1M_aux_cil.ckpt "
+                        "load path (pluto.py:130-137); also anchors GRPO's "
+                        "KL reference")
+    p.add_argument("--save_pretrain", default="",
+                   help="after the run, save the CBV's params as a "
+                        "canonical pretrain npz (bootstrap-pretrain stage "
+                        "of tools/quality_experiment.py)")
+    p.add_argument("--no_fused", action="store_true",
+                   help="force the per-tick host loop (debugging); by "
+                        "default eval/train_cbv run fused chunks")
     p.add_argument("--render", action="store_true",
                    help="record a BEV GIF of scenario 0 with the executed "
                         "CBV trajectories overlaid (visualization/: "
@@ -311,7 +393,16 @@ def main(argv=None):
         tmap, _ = map_from_routes(
             [c.keypoints for c in route_configs[: args.num_scenario]],
             num_lanes=2, pad_lanes_to=PAD_ROUTE_LANES,
+            stop_ratio=args.stop_ratio,
         )
+
+    # auto defaults: eval ships with the full criteria surface on
+    num_walkers = args.num_walkers
+    num_statics = args.num_statics
+    if num_walkers < 0:
+        num_walkers = 2 if args.mode == "eval" else 0
+    if num_statics < 0:
+        num_statics = 2 if args.mode == "eval" else 0
 
     env = TrafficEnv(
         tmap,
@@ -319,9 +410,37 @@ def main(argv=None):
         num_agents=args.num_agents,
         max_cbvs=cbv_cfg.get("max_cbvs", 3),
         seed=args.seed,
+        num_walkers=num_walkers,
+        num_statics=num_statics,
     )
     ego = EGO_POLICY_LIST[ego_cfg.get("policy", args.ego_cfg)](tmap, ego_cfg)
     cbv = CBV_POLICY_LIST[cbv_cfg.get("policy", args.cbv_cfg)](tmap, cbv_cfg)
+
+    if args.cbv_recog == "attention":
+        from .models.plant import PlanTModel
+        from .models.plant.train import load_plant_params
+
+        recog_model = PlanTModel(dim=128, num_layers=4, num_heads=4)
+        if args.recog_weights:
+            recog_params = load_plant_params(args.recog_weights)
+        else:
+            import warnings
+
+            warnings.warn(
+                "--cbv_recog attention without --recog_weights: scoring "
+                "with a randomly-initialised PlanT (train one via "
+                "python -m rift_tpu.models.plant.train <collect.h5>)",
+                stacklevel=1,
+            )
+            from .models.plant import build_plant_tokens
+            from .utils.cache import init_params_on_cpu
+
+            _state, _crit, _spec = env.reset()
+            tk, tp, lh = build_plant_tokens(_spec, _state)
+            recog_params = init_params_on_cpu(
+                recog_model.init, jax.random.PRNGKey(args.seed), tk, tp, lh,
+            )
+        env.set_recognition(recog_model, recog_params)
 
     tag = f"{ego.name}-{cbv.name}-seed{args.seed}"
     out_dir = os.path.join(args.out_dir, args.mode, tag)
@@ -353,34 +472,57 @@ def main(argv=None):
     def reset_env(ep):
         """Per-episode reset; with a route loader, rebuild the corridor map
         for the sampled batch (fixed lane padding -> no recompilation) and
-        run each scenario on its own route."""
+        run each scenario on its own route.
+
+        Returns (state, crit, spec, batch_configs): batch_configs holds the
+        REAL sampled routes only — the scenario axis is padded by repeating
+        the last route, and those duplicates must not become statistics
+        records (scenario_data_loader.py:109-140 sizes the final batch
+        honestly)."""
         if loader is None:
-            return env.reset()
+            return (*env.reset(), None)
         from .map import route_waypoints
         from .map.from_route import map_from_routes
 
         batch = loader.sampler()
         if not batch:
-            return env.reset()
+            return (*env.reset(), None)
+        real = list(batch)
         while len(batch) < args.num_scenario:  # pad the final partial batch
             batch.append(batch[-1])
         new_tmap, lane_paths = map_from_routes(
             [c.keypoints for c in batch[: args.num_scenario]],
             num_lanes=2, pad_lanes_to=PAD_ROUTE_LANES,
+            stop_ratio=args.stop_ratio,
         )
         env.tmap = new_tmap
         for pol in (ego, cbv):
             if hasattr(pol, "tmap"):
                 pol.tmap = new_tmap
         routes = [route_waypoints(new_tmap, p) for p in lane_paths]
-        return env.reset(routes=routes, lane_paths=lane_paths)
+        return (*env.reset(routes=routes, lane_paths=lane_paths), real)
 
     train_cbv_mode = args.mode == "train_cbv"
     ego_is_rl = getattr(ego, "type", "") == "rl"
     cbv_is_classic_rl = getattr(cbv, "type", "") == "rl"
+    can_fuse = (
+        not args.no_fused
+        and not args.render
+        and args.mode in ("eval", "train_cbv")
+        and not cbv_is_classic_rl
+        and ego.name in FUSED_EGO_KIND
+    )
 
     for ep in range(start_ep, args.num_episodes):
-        state, crit, spec = reset_env(ep)
+        state, crit, spec, batch_cfgs = reset_env(ep)
+        if (
+            args.pretrain
+            and hasattr(cbv, "load_pretrain")
+            and getattr(cbv, "params", None) is None
+        ):
+            cbv.maybe_init(spec, state)
+            cbv.load_pretrain(args.pretrain)
+            print(f"loaded pretrain {args.pretrain}")
         if args.mode == "train_ego" and ego_is_rl:
             state, crit, losses = train_ego_episode(
                 env, ego, cbv, state, crit, spec, args.max_ticks, tmap
@@ -401,6 +543,16 @@ def main(argv=None):
             state, crit = collect_episode(
                 env, ego, cbv, state, crit, spec, args.max_ticks, collect_buffer
             )
+        elif can_fuse:
+            state, crit = run_episode_fused(
+                env, ego, cbv, state, crit, spec, args.max_ticks,
+                train=train_cbv_mode,
+            )
+            if train_cbv_mode and hasattr(cbv, "buffer_full") and cbv.buffer_full():
+                losses = cbv.train_round()
+                print(f"episode {ep}: fine-tune losses {losses}")
+                if hasattr(cbv, "save"):
+                    cbv.save(ckpt, ep)
         else:
             on_tick = None
             recorder = None
@@ -443,7 +595,16 @@ def main(argv=None):
                 print(f"episode {ep}: fine-tune losses {losses}")
                 if hasattr(cbv, "save"):
                     cbv.save(ckpt, ep)
-        stats.register_episode(crit, state, spec)
+        if batch_cfgs is not None:
+            stats.register_episode(
+                crit, state, spec,
+                route_ids=[c.name for c in batch_cfgs],
+                num_valid=len(batch_cfgs),
+            )
+            n_new = len(batch_cfgs)
+        else:
+            stats.register_episode(crit, state, spec)
+            n_new = args.num_scenario
         # live, human-readable status (statistics_manager.py:306-423
         # write_live_results semantics)
         from .utils.logger import Logger
@@ -451,13 +612,17 @@ def main(argv=None):
         Logger(out_dir).write_live_results(stats.live_results_text())
         print(
             f"episode {ep}: DS="
-            f"{np.mean([r.driving_score for r in stats.records[-args.num_scenario:]]):.1f}"
+            f"{np.mean([r.driving_score for r in stats.records[-n_new:]]):.1f}"
         )
 
     if collect_buffer is not None:
         path = collect_buffer.save()
         print(f"collect_data: wrote {path}")
         return path
+
+    if args.save_pretrain and hasattr(cbv, "save_pretrain"):
+        cbv.save_pretrain(args.save_pretrain)
+        print(f"saved pretrain {args.save_pretrain}")
 
     g = stats.compute_global_statistics()
     print(json.dumps(g.__dict__, indent=2))

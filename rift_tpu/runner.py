@@ -110,8 +110,8 @@ class Runner:
 
     SAMPLE_KEYS = (
         "old_logits", "advantage", "valid", "rollout_return", "chosen_idx",
-        "teacher_speed", "value", "reward", "ret", "ret_shaped", "gae",
-        "gae_valid",
+        "teacher_speed", "teacher_pos", "value", "reward", "ret",
+        "ret_shaped", "gae", "gae_valid",
     )
 
     # ------------------------------------------------------------------

@@ -268,7 +268,7 @@ def spawn_agents(
 # ---------------------------------------------------------------------------
 # Step (device)
 # ---------------------------------------------------------------------------
-@partial(jax.jit, static_argnames=("max_cbvs", "dt"))
+@partial(jax.jit, static_argnames=("max_cbvs", "dt", "recog_model"))
 def env_step(
     tmap: TensorMap,
     spec: ScenarioSpec,
@@ -282,6 +282,8 @@ def env_step(
     cbv_ctrl_mask: jnp.ndarray | None = None,  # [S, A]
     max_cbvs: int = 3,
     dt: float = 0.1,
+    recog_model=None,  # PlanT scorer model -> attention recognition
+    recog_params=None,  # its params (traced pytree)
 ):
     """One full environment tick for every scenario.
 
@@ -290,6 +292,11 @@ def env_step(
     `ego_ctrl` (rl-type egos, ego/rl/ppo.py), otherwise the rule ego; CBVs
     follow `cbv_traj` waypoints (Pluto family) or raw `cbv_ctrl` (classic
     rl CBVs, cbv_action.py rl-type); everyone else runs the IDM autopilot.
+
+    Recognition is rule-based by default; passing a PlanT `recog_model` +
+    `recog_params` switches to attention-based recognition (the reference's
+    CBV_RECOGNITION_LIST selection, rift/cbv/recognition/__init__.py:12 +
+    attn_cbv.py:20-30).
     """
     S, A = state.alive.shape
 
@@ -365,9 +372,23 @@ def env_step(
     # off-cadence ticks instead of discarding it through jnp.where
     tick0 = state.tick.reshape(-1)[0]
     any_recog = (tick0 > RECOG_WARMUP_TICKS) & (tick0 % RECOG_INTERVAL == 0)
+
+    if recog_model is not None:
+        from ..models.plant.train import plant_attn_scores
+        from .recognition import attn_recognize_cbvs
+
+        def _do_recog():
+            scores = plant_attn_scores(recog_model, recog_params, spec, state)
+            return attn_recognize_cbvs(
+                tmap, spec, state, lambda _s: scores, max_cbvs
+            )
+    else:
+        def _do_recog():
+            return recognize_cbvs(tmap, spec, state, max_cbvs)
+
     new_is_cbv, goal, gvalid, _, promote = jax.lax.cond(
         any_recog,
-        lambda: recognize_cbvs(tmap, spec, state, max_cbvs),
+        _do_recog,
         lambda: (
             state.is_cbv,
             state.goal,
@@ -410,6 +431,15 @@ class TrafficEnv:
         self.num_walkers = num_walkers
         self.num_statics = num_statics
         self.rng = np.random.default_rng(seed)
+        # attention recognition (episode-static selection; None -> rule)
+        self.recog_model = None
+        self.recog_params = None
+
+    def set_recognition(self, model=None, params=None):
+        """Select attention-based CBV recognition (PlanT scorer) for
+        subsequent steps; call with no args to revert to rule recognition."""
+        self.recog_model = model
+        self.recog_params = params
 
     def reset(self, routes=None, lane_paths=None):
         if routes is None:
@@ -435,6 +465,7 @@ class TrafficEnv:
             cbv_traj=cbv_traj, cbv_traj_mask=cbv_traj_mask, ego_traj=ego_traj,
             ego_ctrl=ego_ctrl, cbv_ctrl=cbv_ctrl, cbv_ctrl_mask=cbv_ctrl_mask,
             max_cbvs=self.max_cbvs, dt=self.dt,
+            recog_model=self.recog_model, recog_params=self.recog_params,
         )
 
     def all_done(self, crit) -> bool:

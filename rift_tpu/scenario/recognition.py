@@ -139,10 +139,11 @@ def recognize_cbvs(
     return new_is_cbv, goal, goal_valid, interaction, promote
 
 
-def _chain_goal(tmap, spec, state, ahead: float) -> jnp.ndarray:
-    """[S, A, 2] goal point `ahead` meters along each agent's lane chain
-    (or the chain end when shorter)."""
+def _chain_goal(tmap, spec, state, ahead) -> jnp.ndarray:
+    """[S, A, 2] goal point `ahead` meters (scalar or per-agent [S, A])
+    along each agent's lane chain (or the chain end when shorter)."""
     S, A = state.alive.shape
+    ahead = jnp.broadcast_to(jnp.asarray(ahead, jnp.float32), (S, A))
     lane = jnp.maximum(state.lane, 0)  # [S, A]
     branch = (state.bv_branch_bits & 1).astype(jnp.int32)  # [S, A]
     # chains: [S, L, 2, MC] -> per agent [S, A, MC]
@@ -154,7 +155,7 @@ def _chain_goal(tmap, spec, state, ahead: float) -> jnp.ndarray:
     s_on, _, _ = tmap.project(lane, state.pos)  # [S, A]
     # cumulative distance from the agent to the END of each chain lane
     cum = jnp.cumsum(lens, axis=-1) - s_on[..., None]
-    hit = cum >= ahead
+    hit = cum >= ahead[..., None]
     idx = jnp.where(
         hit.any(-1), jnp.argmax(hit, axis=-1), (chains >= 0).sum(-1) - 1
     )

@@ -193,11 +193,17 @@ class StatisticsManager:
         spec: ScenarioSpec,
         route_ids: list[str] | None = None,
         dt: float = 0.1,
+        num_valid: int | None = None,
     ):
-        """Pull one batch of finished scenarios into records."""
+        """Pull one batch of finished scenarios into records.
+
+        `num_valid` caps how many scenarios become records: the data loader
+        pads a final partial batch by repeating routes (run.py), and the
+        duplicates must not inflate route counts/averages (the reference
+        sizes the last batch honestly, scenario_data_loader.py:109-140)."""
         ds, rc, penalty = driving_score(crit, state, spec)
         ds, rc, penalty = map(np.asarray, (ds, rc, penalty))
-        S = ds.shape[0]
+        S = ds.shape[0] if num_valid is None else min(num_valid, ds.shape[0])
         c = crit
         for s in range(S):
             n = max(int(c.cbv_count[s]), 1)

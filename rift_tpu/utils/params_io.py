@@ -1,0 +1,58 @@
+"""Portable flax-params serialization: flat npz keyed by tree path.
+
+The canonical pretrain artifact format: the quality-parity experiment
+(tools/quality_experiment.py) saves the bootstrap-pretrained Pluto as one
+npz which every fine-tuned variant then loads as its starting point — the
+equivalent of the reference's `pluto_1M_aux_cil.ckpt` load path
+(rift/cbv/planning/pluto/pluto.py:130-137) without the Lightning/disk
+round-trip format.
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def save_params_npz(params, path: str):
+    """Flat npz of a (nested-dict) params pytree."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    np.savez(path, **{
+        "/".join(str(k) for k in p): np.asarray(v) for p, v in flat
+    })
+
+
+def load_params_npz(path: str) -> dict:
+    """Rebuild the nested params dict from a save_params_npz file."""
+    data = np.load(path)
+    out: dict = {}
+    for key in data.files:
+        parts = []
+        for p in key.split("/"):
+            m = re.match(r"DictKey\(key='(.+?)'\)", p)
+            parts.append(m.group(1) if m else p)
+        d = out
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = jnp.asarray(data[key])
+    return out
+
+
+def merge_params(template: dict, loaded: dict) -> dict:
+    """Recursively overlay `loaded` onto `template`: keys present in both
+    take the loaded value, template-only keys keep their (e.g. freshly
+    initialised) value — so a pretrain without a value head still loads
+    into ppo_pluto's value-headed model."""
+    out = {}
+    for k, v in template.items():
+        if k in loaded:
+            if isinstance(v, dict):
+                out[k] = merge_params(v, loaded[k])
+            else:
+                out[k] = loaded[k]
+        else:
+            out[k] = v
+    return out

@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""The committed quality-parity experiment (VERDICT r1, next-round item 1).
+
+Reproduces the reference's Table-1 protocol (eval.ipynb cell 1;
+BASELINE.md) end to end on-device, without the unavailable
+`pluto_1M_aux_cil.ckpt`:
+
+  stage 1  bootstrap-pretrain: behavior-clone the full Pluto against the
+           privileged lane-follow teacher (policies.BCPlutoPolicy — the
+           stand-in for the nuPlan-1M IL pretrain,
+           rift/cbv/planning/pluto/pluto.py:130-137) -> pluto_pretrain.npz
+  stage 2  closed-loop fine-tune every RLFT/SFT variant from that pretrain
+           (train_cbv; rlft_pluto.py:206-247 alternating loop)
+  stage 3  eval matrix: {standard, frozen pluto, fine-tuned variants}
+           x 3 seeds over the dev10-derived routes, walkers+statics on
+           (carla_runner.py:311-362)
+  stage 4  merge seeds (tools/merge_statistics.py = reference
+           scripts/merge_statistics.py) -> RESULTS.md
+
+Every stage is resumable: existing artifacts are reused, so a crashed run
+continues where it stopped.
+
+    python tools/quality_experiment.py            # full experiment
+    python tools/quality_experiment.py --smoke    # minutes-scale sanity run
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+ROUTES_XML = os.path.join(
+    "/root/reference/rift/scenario/route/"
+    "drivetransformer_bench2drive_dev10.xml"
+)
+
+# fine-tuned variants in the eval matrix (>=6 CBV methods incl. the two
+# frozen rows, VERDICT item 1 protocol)
+METHODS = [
+    "sft_pluto",
+    "rtr_pluto",
+    "reinforce_pluto",
+    "rs_pluto",
+    "ppo_pluto",
+    "grpo_pluto",
+    "rift_pluto",
+]
+SEEDS = [0, 1, 2]
+
+
+def run_cli(argv: list[str]):
+    from rift_tpu.run import main
+
+    print(f"\n=== rift_tpu.run {' '.join(argv)}", flush=True)
+    t0 = time.time()
+    out = main(argv)
+    print(f"=== done in {time.time() - t0:.0f}s", flush=True)
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default=os.path.join(ROOT, "log", "quality"))
+    p.add_argument("--routes", default=ROUTES_XML)
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny shapes / 1 seed / 2 methods — CI sanity")
+    p.add_argument("--num_scenario", type=int, default=5)
+    p.add_argument("--num_agents", type=int, default=16)
+    p.add_argument("--pretrain_episodes", type=int, default=16)
+    p.add_argument("--finetune_episodes", type=int, default=10)
+    p.add_argument("--train_ticks", type=int, default=300)
+    p.add_argument("--eval_ticks", type=int, default=600)
+    p.add_argument("--eval_episodes", type=int, default=2)
+    p.add_argument("--methods", default=",".join(METHODS))
+    p.add_argument("--seeds", default=",".join(map(str, SEEDS)))
+    args = p.parse_args()
+
+    methods = [m for m in args.methods.split(",") if m]
+    seeds = [int(s) for s in args.seeds.split(",") if s != ""]
+    if args.smoke:
+        args.num_scenario, args.num_agents = 2, 8
+        args.pretrain_episodes = args.finetune_episodes = 1
+        args.train_ticks, args.eval_ticks, args.eval_episodes = 40, 40, 1
+        methods, seeds = ["rift_pluto"], [0]
+
+    art = os.path.join(args.out, "artifacts")
+    os.makedirs(art, exist_ok=True)
+    common = [
+        "--routes", args.routes,
+        "--num_scenario", str(args.num_scenario),
+        "--num_agents", str(args.num_agents),
+    ]
+
+    # ---------------- stage 1: bootstrap pretrain --------------------------
+    pretrain = os.path.join(art, "pluto_pretrain.npz")
+    if not os.path.exists(pretrain):
+        run_cli([
+            "--mode", "train_cbv", "--ego_cfg", "pdm_lite",
+            "--cbv_cfg", "bc_pluto",
+            "--num_episodes", str(args.pretrain_episodes),
+            "--max_ticks", str(args.train_ticks),
+            "--out_dir", os.path.join(args.out, "pretrain"),
+            "--save_pretrain", pretrain,
+            *common,
+        ])
+    else:
+        print(f"stage 1: reusing {pretrain}")
+
+    # ---------------- stage 2: closed-loop fine-tunes ----------------------
+    tuned = {}
+    for m in methods:
+        out_npz = os.path.join(art, f"{m}.npz")
+        tuned[m] = out_npz
+        if os.path.exists(out_npz):
+            print(f"stage 2: reusing {out_npz}")
+            continue
+        run_cli([
+            "--mode", "train_cbv", "--ego_cfg", "pdm_lite", "--cbv_cfg", m,
+            "--num_episodes", str(args.finetune_episodes),
+            "--max_ticks", str(args.train_ticks),
+            "--out_dir", os.path.join(args.out, "train"),
+            "--pretrain", pretrain,
+            "--save_pretrain", out_npz,
+            *common,
+        ])
+
+    # ---------------- stage 3: eval matrix ---------------------------------
+    eval_dir = os.path.join(args.out, "eval")
+    matrix = [("standard", None), ("pluto", pretrain)] + [
+        (m, tuned[m]) for m in methods
+    ]
+    for cbv, npz in matrix:
+        for seed in seeds:
+            tag = f"pdm_lite-{cbv}-seed{seed}"
+            res = os.path.join(
+                eval_dir, "eval", tag, "simulation_results.json"
+            )
+            if os.path.exists(res):
+                with open(res) as f:
+                    if json.load(f).get("records"):
+                        print(f"stage 3: reusing {res}")
+                        continue
+            argv = [
+                "--mode", "eval", "--ego_cfg", "pdm_lite", "--cbv_cfg", cbv,
+                "--num_episodes", str(args.eval_episodes),
+                "--max_ticks", str(args.eval_ticks),
+                "--seed", str(seed),
+                "--out_dir", eval_dir,
+                *common,
+            ]
+            if npz:
+                argv += ["--pretrain", npz]
+            run_cli(argv)
+
+    # ---------------- stage 4: merge + RESULTS.md --------------------------
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import importlib
+
+    merge = importlib.import_module("merge_statistics")
+    merged = merge.main([
+        "--base_dir", os.path.join(eval_dir, "eval"),
+        "--out", os.path.join(args.out, "merged.json"),
+    ])
+    print(json.dumps({k: v for k, v in merged.items()}, indent=2)[:2000])
+    return merged
+
+
+if __name__ == "__main__":
+    main()
