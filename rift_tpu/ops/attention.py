@@ -149,9 +149,40 @@ def fused_attention_xla(q, k, v, bias, kpad_add, num_heads):
     return out.reshape(B, Tq, D)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fused_attention_tpu(q, k, v, bias, kpad_add, num_heads):
+    """Differentiable wrapper: Pallas kernel forward, XLA backward.
+
+    The backward pass recomputes the attention with the XLA formulation and
+    differentiates that — flash-attention-style rematerialization: nothing
+    from the fused forward is saved except the primals, and the one-off
+    [B, H, Tq, Tk] backward materialization only happens during fine-tune
+    fits (256 steps per buffer-full round), where it is noise next to the
+    optimizer step. Without this VJP, full-model training (bc_pluto's
+    bootstrap pretrain; any loss whose grad flows past pi_head) fails to
+    linearize on TPU."""
+    return fused_attention_pallas(q, k, v, bias, kpad_add, num_heads)
+
+
+def _fused_attention_fwd(q, k, v, bias, kpad_add, num_heads):
+    out = fused_attention_pallas(q, k, v, bias, kpad_add, num_heads)
+    return out, (q, k, v, bias, kpad_add)
+
+
+def _fused_attention_bwd(num_heads, res, g):
+    q, k, v, bias, kpad_add = res
+    _, vjp = jax.vjp(
+        lambda *a: fused_attention_xla(*a, num_heads), q, k, v, bias, kpad_add
+    )
+    return vjp(g)
+
+
+_fused_attention_tpu.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
 def fused_attention(q, k, v, bias, kpad_add, num_heads):
     """[B, Tq, D] x [B, Tk, D]^2 (+ bias [H, Tq, Tk], kpad_add [B, Tk]) ->
-    [B, Tq, D]. Softmax in f32."""
+    [B, Tq, D]. Softmax in f32. Differentiable on every backend."""
     if jax.default_backend() in ("tpu", "axon"):
-        return fused_attention_pallas(q, k, v, bias, kpad_add, num_heads)
+        return _fused_attention_tpu(q, k, v, bias, kpad_add, num_heads)
     return fused_attention_xla(q, k, v, bias, kpad_add, num_heads)

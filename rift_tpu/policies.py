@@ -356,9 +356,13 @@ class BCPlutoPolicy(_FineTunedPluto):
     def __init__(self, tmap, cfg=None, **kw):
         super().__init__(tmap, cfg, **kw)
         if not (cfg or {}).get("train"):
-            # default: train the FULL model, more epochs, no CL decay
+            # default: train the FULL model, no CL decay. From-scratch
+            # pretraining needs a real step size — the fine-tune defaults
+            # (lr 1e-4, global-norm clip 0.5) barely move a random-init
+            # model under the meter-scale WTA regression loss.
             self.train_cfg = self.train_cfg.replace(
-                trainable_prefixes=(), cl_lr_decay=1.0, lr=3e-4
+                trainable_prefixes=(), cl_lr_decay=1.0, lr=1e-3,
+                grad_clip=5.0,
             )
 
     def _loss_fn(self, params, batch, rng):

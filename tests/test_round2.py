@@ -257,6 +257,34 @@ def test_bc_pretrain_policy_and_params_roundtrip(tmp_path):
     assert tgt.ref_params is not None  # GRPO KL anchored to the pretrain
 
 
+def test_fused_attention_custom_vjp(monkeypatch):
+    """The TPU attention kernel must be differentiable (full-model BC
+    pretrain trains through it): the custom-VJP wrapper's backward is the
+    XLA formulation's gradient. The Pallas forward itself is parity-tested
+    elsewhere; here the fwd is stubbed to the XLA path so the custom_vjp
+    rules run on CPU."""
+    import jax
+    import jax.numpy as jnp
+
+    import rift_tpu.ops.attention as A
+
+    monkeypatch.setattr(A, "fused_attention_pallas",
+                        lambda q, k, v, b, p, h: A.fused_attention_xla(
+                            q, k, v, b, p, h))
+    B, T, D, H = 4, 6, 32, 2
+    q, k, v = (jax.random.normal(jax.random.PRNGKey(i), (B, T, D))
+               for i in range(3))
+    bias = jnp.zeros((H, T, T))
+    kpad = jnp.zeros((B, T))
+    g = jax.grad(
+        lambda q: A._fused_attention_tpu(q, k, v, bias, kpad, H).sum()
+    )(q)
+    gx = jax.grad(
+        lambda q: A.fused_attention_xla(q, k, v, bias, kpad, H).sum()
+    )(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gx), atol=1e-5)
+
+
 def test_cli_eval_defaults_enable_walkers_and_statics(tmp_path, monkeypatch):
     """Shipped eval runs exercise the ped/static collision classes by
     default (VERDICT r1 missing #3)."""
