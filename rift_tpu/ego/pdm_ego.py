@@ -59,15 +59,33 @@ def _idm_target_speed(
     return jnp.maximum(ego_speed + IDM_T_BOUND * dvdt, 0.0)
 
 
-@partial(jax.jit, static_argnames=("dt", "num_points"))
+LC_BLOCK_AHEAD = 30.0  # leader window that triggers/holds a lane change (m)
+LC_BEHIND = -2.0  # leader counts as "ahead" until fully passed
+LC_OCC_BACK, LC_OCC_AHEAD = -8.0, 35.0  # adjacent-lane clearance window
+# lateral transition length: the ramp is anchored at the vehicle each tick
+# (stateless), so the steady-state displacement is ramp(aim distance) * w —
+# 8 m puts the aim point (5-8 m, pid.py) at 0.6-1.0 of the full offset
+LC_RAMP_M = 8.0
+
+
+@partial(jax.jit, static_argnames=("dt", "num_points", "lane_change"))
 def pdm_ego_waypoints(
     spec: ScenarioSpec,
     state: SimState,
     tmap=None,
     dt: float = 0.1,
     num_points: int = 30,
+    lane_change: bool = False,
 ) -> jnp.ndarray:
-    """[S, N, 2] local-frame waypoints for agent slot 0."""
+    """[S, N, 2] local-frame waypoints for agent slot 0.
+
+    `lane_change=True` is the 'expert' behavior (the leaderboard-autopilot
+    variant): when a slow same-lane leader blocks the route and an adjacent
+    lane is clear, the planned waypoints shift laterally into that lane to
+    overtake and merge back once past — the TPU equivalent of the privileged
+    route planner's lane-change routes
+    (rift/ego/expert/privileged_route_planner.py:869). pdm_lite (False)
+    stays in lane and brakes via IDM, like the reference default."""
     S, A = state.alive.shape
 
     # ---- forecast all agents (constant control) over FORECAST_STEPS
@@ -151,8 +169,67 @@ def pdm_ego_waypoints(
             state.stopped_at_stop[:, 0], v_target,
         )
 
+    offset = jnp.zeros(S)
+    if lane_change and tmap is not None:
+        # ROUTE-frame geometry: bands are anchored to the route corridor,
+        # not the ego's current lane binding, so the decision is stable
+        # while the ego is displaced mid-overtake (the blocker stays "in the
+        # route band ahead" until the ego's route projection passes it)
+        r_pt = jnp.take_along_axis(
+            route[..., :2], cursor[:, None, None].repeat(2, -1), axis=1
+        )[:, 0]  # [S, 2] ego's route projection
+        r_hd = jnp.take_along_axis(route[..., 2], cursor[:, None], axis=1)[:, 0]
+        c0, s0 = jnp.cos(r_hd), jnp.sin(r_hd)
+        rel = state.pos - r_pt[:, None]  # [S, A, 2]
+        ax = rel[..., 0] * c0[:, None] + rel[..., 1] * s0[:, None]
+        ay = -rel[..., 0] * s0[:, None] + rel[..., 1] * c0[:, None]
+        others = state.alive & (jnp.arange(A)[None] != 0)
+
+        lane0 = jnp.maximum(state.lane[:, 0], 0)
+        w = tmap.width[lane0]
+        slow = state.speed < 0.6 * desired[:, None]
+        # blocked: a slow vehicle in the route corridor ahead (holds while
+        # passing, clears once the blocker is behind -> merge back)
+        in_route_band = (jnp.abs(ay) < 0.6 * w[:, None]) & (
+            ax > LC_BEHIND
+        ) & (ax < LC_BLOCK_AHEAD)
+        blocked = (in_route_band & others & slow).any(-1)
+
+        def clear(side):
+            band = (
+                (jnp.abs(ay - side * w[:, None]) < 0.6 * w[:, None])
+                & (ax > LC_OCC_BACK)
+                & (ax < LC_OCC_AHEAD)
+            )
+            return ~(band & others).any(-1)
+
+        # a pass lane exists where the road is drivable one lane-width off
+        # the ROUTE centerline (probing the map, not the ego's current lane
+        # adjacency, keeps the side choice stable after the ego re-binds to
+        # the pass lane mid-overtake)
+        normal = jnp.stack([-s0, c0], -1)  # route-left unit
+        probe_ahead = 0.5 * LC_OCC_AHEAD
+        probe_base = r_pt + probe_ahead * jnp.stack([c0, s0], -1)
+        exists_l = tmap.on_road(probe_base + w[:, None] * normal)
+        exists_r = tmap.on_road(probe_base - w[:, None] * normal)
+        can_left = exists_l & clear(+1.0)
+        can_right = exists_r & clear(-1.0)
+        # don't start a change inside a junction
+        on_junction = tmap.is_junction[lane0]
+        do_change = blocked & (can_left | can_right) & ~on_junction
+        side = jnp.where(can_left, 1.0, -1.0)
+        offset = jnp.where(do_change, side * w, 0.0)
+        # while overtaking, don't IDM-brake for the blocker being passed
+        # (the route sweep still sees it; crossing hazards keep braking)
+        hz_in_band = (
+            any_hit
+            & (ax[jnp.arange(S), hazard_agent] > LC_BEHIND)
+            & (jnp.abs(ay[jnp.arange(S), hazard_agent]) < 0.6 * w)
+        )
+        v_target = jnp.where(do_change & hz_in_band, desired, v_target)
+
     spacing = jnp.maximum(v_target * dt, 1e-3)
-    return path_follow_waypoints(
+    wp = path_follow_waypoints(
         spec.ego_route,
         spec.ego_route_len,
         state.pos[:, 0],
@@ -160,3 +237,10 @@ def pdm_ego_waypoints(
         spacing,
         num_points,
     )
+    if lane_change and tmap is not None:
+        # lateral shift ramps in over LC_RAMP_M of arclength (local +y =
+        # road-left while aligned with the route)
+        arclen = spacing[:, None] * jnp.arange(num_points, dtype=jnp.float32)
+        ramp = jnp.clip(arclen / LC_RAMP_M, 0.0, 1.0)
+        wp = wp.at[..., 1].add(ramp * offset[:, None])
+    return wp

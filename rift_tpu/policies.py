@@ -618,12 +618,21 @@ class BehaviorEgo(PDMLiteEgo):
 
 
 class ExpertEgo(PDMLiteEgo):
-    """'expert' — leaderboard-autopilot variant (same privileged core)."""
+    """'expert' — leaderboard-autopilot variant: the PDM core plus
+    privileged lane changes — a slow same-lane leader with a clear adjacent
+    lane is overtaken instead of followed (ego/pdm_ego.py lane_change;
+    reference privileged_route_planner.py:869), so the expert differs
+    behaviorally from pdm_lite wherever overtaking is possible."""
 
     name = "expert"
 
+    def act(self, spec, state):
+        from .ego.pdm_ego import pdm_ego_waypoints
 
-class ExpertDisturbEgo(PDMLiteEgo):
+        return pdm_ego_waypoints(spec, state, self.tmap, lane_change=True)
+
+
+class ExpertDisturbEgo(ExpertEgo):
     """'expert_disturb' — expert with injected waypoint noise
     (rift/ego/expert_disturb.py:56)."""
 

@@ -118,9 +118,7 @@ def executed_cbv_reward(tmap, state, slots):
     pos = state.pos[s_ix, sl]
     lane = state.lane[s_ix, sl]
     _, lat, lane_hdg = tmap.project(lane, pos)
-    d_angle = jnp.abs(
-        jnp.angle(jnp.exp(1j * (state.heading[s_ix, sl] - lane_hdg)))
-    )
+    d_angle = jnp.abs(wrap_angle(state.heading[s_ix, sl] - lane_hdg))
     r = dense_reward(
         jnp.abs(lat),
         d_angle,

@@ -178,6 +178,10 @@ def rollout_chunk(
             from .ego.pdm_ego import pdm_ego_waypoints
 
             return pdm_ego_waypoints(spec, state, tmap)
+        if ego == "expert":
+            from .ego.pdm_ego import pdm_ego_waypoints
+
+            return pdm_ego_waypoints(spec, state, tmap, lane_change=True)
         if ego == "plant":
             from .models.plant.policy import plant_ego_waypoints
 

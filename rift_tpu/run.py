@@ -85,7 +85,7 @@ FLUSH_K = 16  # fine-tune extras window (returns/GAE horizon per flush)
 # egos whose waypoint fns run inside rollout_chunk's scan (fused CLI path)
 FUSED_EGO_KIND = {
     "pdm_lite": "pdm",
-    "expert": "pdm",
+    "expert": "expert",  # pdm + privileged lane changes
     "behavior": "rule",
     "plant": "plant",
 }
@@ -564,6 +564,7 @@ def main(argv=None):
                     every_n_ticks=5,
                 )
                 route0 = np.asarray(spec.ego_route)[0, : int(spec.ego_route_len[0]), :2]
+                weather0 = batch_cfgs[0].weather if batch_cfgs else None
 
                 def on_tick(prev_state, st, crit_now, ego_out, cbv_out):
                     cands = None
@@ -582,7 +583,15 @@ def main(argv=None):
                                 ],
                                 axis=-1,
                             )
-                    recorder.maybe_capture(st, 0, route=route0, candidates=cands)
+                    w = None
+                    if weather0 is not None:
+                        pct = 100.0 * float(st.ego_route_cursor[0]) / max(
+                            float(spec.ego_route_len[0]), 1.0
+                        )
+                        w = weather0.at(pct)
+                    recorder.maybe_capture(
+                        st, 0, route=route0, candidates=cands, weather=w
+                    )
 
             state, crit = run_episode(
                 env, ego, cbv, state, crit, spec, args.max_ticks,
@@ -600,6 +609,7 @@ def main(argv=None):
                 crit, state, spec,
                 route_ids=[c.name for c in batch_cfgs],
                 num_valid=len(batch_cfgs),
+                weathers=[c.weather for c in batch_cfgs],
             )
             n_new = len(batch_cfgs)
         else:

@@ -279,10 +279,20 @@ def update_criteria(
         (dist_to_route > ROUTE_DEVIATION_M) & running
     )
 
-    # outside-route-lanes accounting: meters driven while off-road
+    # outside-route-lanes accounting: meters driven while off-road OR
+    # against the bound lane's direction (OutsideRouteLanesTest counts
+    # wrong-lane/sidewalk driving too, atomic_criteria.py:992-1176; the
+    # drivable raster is the sidewalk equivalent, heading-vs-lane the
+    # wrong-direction term — >120 deg so transient swings don't count)
     step_m = ego_speed * dt * running
     driven = crit.driven_meters + step_m
-    outside = crit.outside_lane_meters + step_m * state.offroad[:, 0]
+    outside_now = state.offroad[:, 0]
+    if tmap is not None:
+        lane0 = jnp.maximum(state.lane[:, 0], 0)
+        _, _, lane_hd = tmap.project(lane0, ego_pos)
+        wrong_dir = jnp.cos(state.heading[:, 0] - lane_hd) < -0.5
+        outside_now = outside_now | (wrong_dir & (state.lane[:, 0] >= 0))
+    outside = crit.outside_lane_meters + step_m * outside_now
 
     # red-light infraction (RunningRedLightTest: entering a signalised
     # connector while its light is red; detected by the world tick)

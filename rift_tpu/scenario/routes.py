@@ -23,9 +23,48 @@ import numpy as np
 
 @dataclass
 class Weather:
-    """Per-route weather keyframes (route_parser.py parse_weather)."""
+    """Per-route weather keyframes (route_parser.py parse_weather).
+
+    Keyframes are the raw XML attribute dicts; `route_percentage` keys the
+    position along the route the frame applies at. `at(pct)` linearly
+    interpolates every numeric attribute between the surrounding keyframes —
+    the dynamic-weather semantics CARLA's leaderboard applies as the ego
+    progresses (env_wrapper.py:59-73 picks the frame, the agent keeps
+    interpolating). Consumers: the BEV renderer (tint/HUD) and the route
+    statistics record."""
 
     keyframes: list[dict] = field(default_factory=list)
+
+    def at(self, pct: float) -> dict:
+        """Numeric weather attributes interpolated at `pct` (0-100)."""
+        frames = []
+        for kf in self.keyframes:
+            try:
+                p = float(kf.get("route_percentage", 0.0))
+            except (TypeError, ValueError):
+                p = 0.0
+            vals = {}
+            for k, v in kf.items():
+                if k == "route_percentage":
+                    continue
+                try:
+                    vals[k] = float(v)
+                except (TypeError, ValueError):
+                    pass
+            frames.append((p, vals))
+        if not frames:
+            return {}
+        frames.sort(key=lambda f: f[0])
+        pct = float(np.clip(pct, frames[0][0], frames[-1][0]))
+        for (p0, v0), (p1, v1) in zip(frames, frames[1:]):
+            if p0 <= pct <= p1:
+                t = 0.0 if p1 == p0 else (pct - p0) / (p1 - p0)
+                keys = set(v0) | set(v1)
+                return {
+                    k: (1 - t) * v0.get(k, 0.0) + t * v1.get(k, 0.0)
+                    for k in keys
+                }
+        return dict(frames[0][1] if pct <= frames[0][0] else frames[-1][1])
 
 
 @dataclass

@@ -103,6 +103,10 @@ class RouteRecord:
     route_id: str
     index: int
     status: str = "Completed"
+    # weather applied over this route (keyframes interpolated at the final
+    # completion percentage; route_parser.py parse_weather — recorded so
+    # runs are attributable to their conditions)
+    weather: dict = field(default_factory=dict)
     driving_score: float = 0.0
     route_completion: float = 0.0
     infraction_penalty: float = 1.0
@@ -194,6 +198,7 @@ class StatisticsManager:
         route_ids: list[str] | None = None,
         dt: float = 0.1,
         num_valid: int | None = None,
+        weathers: list | None = None,  # scenario/routes.Weather per scenario
     ):
         """Pull one batch of finished scenarios into records.
 
@@ -285,6 +290,11 @@ class StatisticsManager:
                 sums=sums,
                 cbv_distributions=cbv_dists,
                 ego_distributions=ego_dists,
+                weather=(
+                    weathers[s].at(float(rc[s]))
+                    if weathers is not None and s < len(weathers)
+                    else {}
+                ),
             )
             self.records.append(rec)
         if self.checkpoint_path:

@@ -163,6 +163,12 @@ def lane_follow_waypoints(
         0,
         chain.shape[-1] - 1,
     )  # [..., N]
+    # overflow targets (== chain total length) bucket past the last VALID
+    # link; chain[-1] may be -1 whose maximum(.,0) gather would read lane 0
+    # — an arbitrary, possibly kilometers-distant lane on multi-route towns.
+    # Clamp to the last valid link so the path pins to the chain's end.
+    n_valid = (chain >= 0).sum(-1)  # [...]
+    j = jnp.minimum(j, jnp.maximum(n_valid - 1, 0)[..., None])
     lane_j = jnp.take_along_axis(ch, j, axis=-1)  # [..., N]
     u = targets - jnp.take_along_axis(cum, j, axis=-1)
     P = LANE_POINTS

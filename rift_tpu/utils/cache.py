@@ -46,7 +46,9 @@ def _ensure_cpu_fallback() -> None:
     """Keep the CPU platform available alongside the TPU so init-time work
     (flax param init — a huge one-shot graph) compiles on the host instead
     of paying minutes of TPU compile. Call before any backend initialises."""
-    platforms = os.environ.get("JAX_PLATFORMS", "")
+    # an explicit jax.config override (tests force cpu) wins over the env
+    cur = jax.config.jax_platforms or ""
+    platforms = cur or os.environ.get("JAX_PLATFORMS", "")
     if platforms and "cpu" not in platforms:
         try:
             jax.config.update("jax_platforms", platforms + ",cpu")

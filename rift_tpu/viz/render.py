@@ -48,6 +48,7 @@ class BEVRenderer:
         route: np.ndarray | None = None,
         candidates: np.ndarray | None = None,  # [K, T, 2] world frame
         reference_lines: np.ndarray | None = None,  # [R, N, 2] + mask via nan
+        weather: dict | None = None,  # Weather.at(pct) numeric attributes
         ax=None,
     ):
         """Draw one scenario centered on its ego. Returns the figure."""
@@ -105,7 +106,41 @@ class BEVRenderer:
         ax.set_xlim(center[0] - self.view_radius, center[0] + self.view_radius)
         ax.set_ylim(center[1] - self.view_radius, center[1] + self.view_radius)
         ax.set_aspect("equal")
-        ax.set_title(f"tick {int(state.tick[scenario])}")
+        title = f"tick {int(state.tick[scenario])}"
+        if weather:
+            # applied weather: rain/fog dim the scene (BEV stand-in for the
+            # leaderboard's dynamic weather, env_wrapper.py:59-73); the HUD
+            # line records what was applied
+            rain = float(weather.get("precipitation", 0.0)) / 100.0
+            fog = float(weather.get("fog_density", 0.0)) / 100.0
+            cloud = float(weather.get("cloudiness", 0.0)) / 100.0
+            dim = min(0.45, 0.35 * rain + 0.3 * fog + 0.1 * cloud)
+            if dim > 0.0:
+                ax.add_patch(
+                    MplPolygon(
+                        np.array([
+                            [center[0] - 2 * self.view_radius,
+                             center[1] - 2 * self.view_radius],
+                            [center[0] + 2 * self.view_radius,
+                             center[1] - 2 * self.view_radius],
+                            [center[0] + 2 * self.view_radius,
+                             center[1] + 2 * self.view_radius],
+                            [center[0] - 2 * self.view_radius,
+                             center[1] + 2 * self.view_radius],
+                        ]),
+                        closed=True, facecolor="#3b4a63", alpha=dim,
+                        edgecolor="none", zorder=6,
+                    )
+                )
+            parts = [
+                f"{k.replace('_', ' ')} {float(v):.0f}"
+                for k, v in sorted(weather.items())
+                if k in ("cloudiness", "precipitation", "fog_density",
+                         "wetness", "sun_altitude_angle") and float(v) != 0.0
+            ]
+            if parts:
+                title += "  |  " + ", ".join(parts)
+        ax.set_title(title, fontsize=9)
         return fig
 
 

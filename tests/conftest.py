@@ -13,6 +13,12 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# persistent on-disk compilation cache: the suite's wall-clock is dominated
+# by XLA CPU compiles (35+ min cold); warm runs skip them entirely
+from rift_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 
 import gc
 

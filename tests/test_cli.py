@@ -7,10 +7,12 @@ from rift_tpu.utils.config import apply_overrides, load_config, merge
 
 
 def test_registries_match_reference_keys():
+    # reference keys (cbv/planning/__init__.py:22-34) plus "bc_pluto", our
+    # bootstrap-pretrain stand-in for the unshipped pluto_1M_aux_cil.ckpt
     assert set(CBV_POLICY_LIST) == {
         "standard", "ppo", "frea", "fppo_rs", "pluto", "sft_pluto",
         "rtr_pluto", "rs_pluto", "reinforce_pluto", "ppo_pluto",
-        "grpo_pluto", "rift_pluto",
+        "grpo_pluto", "rift_pluto", "bc_pluto",
     }
     assert set(EGO_POLICY_LIST) == {
         "behavior", "ppo", "expert", "plant", "expert_disturb", "pdm_lite",
