@@ -25,6 +25,18 @@ from .tensor_map import TensorMap, build_tensor_map
 SEGMENT_LEN = 100.0
 LANE_WIDTH = 3.5
 ROAD_ID_STRIDE = 10000  # road-id block per route in a merged map
+# Route tiling: routes arrive at native town coordinates (km apart across
+# towns), which would union into a giant, mostly-empty AABB — a multi-MB
+# spatial grid whose SHAPE changes with every sampled batch, recompiling
+# every jitted program each episode. Scenarios never interact across the
+# [S] axis, so each route is translated into a compact vertical tile
+# instead; with the fixed GRID_SHAPE/RASTER_SHAPE below, every route map
+# in a run has identical array shapes (zero recompiles) and near-nominal
+# grid resolution.
+TILE_PAD = 90.0  # clearance per tile: cross arms (60) + lanes + grid margin
+TILE_GAP = 40.0  # extra separation between consecutive tiles
+GRID_SHAPE = (1792, 256)  # [GY, GX] lane hash cells (2 m nominal)
+RASTER_SHAPE = (3584, 512)  # [RY, RX] drivable raster cells (1 m nominal)
 JUNCTION_RADIUS = 14.0  # corridor cut-back around a corner
 CROSS_ARM_LEN = 60.0  # cross-road length each side of the junction
 CORNER_ANGLE = 0.35  # rad of heading change that makes a corner (~20 deg)
@@ -332,7 +344,15 @@ def map_from_routes(
     all_lanes: list[dict] = []
     all_keys: list[list[tuple]] = []
     lg_base = 0
+    y_cursor = TILE_PAD
     for ri, kp in enumerate(keypoints_list):
+        kp = np.asarray(kp, dtype=np.float64)
+        xy = kp[:, :2]
+        lo = xy.min(0)
+        kp = kp.copy()
+        kp[:, 0] = xy[:, 0] - lo[0] + TILE_PAD
+        kp[:, 1] = xy[:, 1] - lo[1] + y_cursor
+        y_cursor += (xy[:, 1].max() - lo[1]) + 2 * TILE_PAD + TILE_GAP
         lanes, keys, n_junc = _route_lanes(
             kp, ri * ROAD_ID_STRIDE, num_lanes, lane_width, speed_limit,
             light_group_base=lg_base, cross_roads=cross_roads,
@@ -342,7 +362,10 @@ def map_from_routes(
         all_lanes.extend(lanes)
         all_keys.append(keys)
 
-    tmap = build_tensor_map(all_lanes, pad_lanes_to=pad_lanes_to)
+    tmap = build_tensor_map(
+        all_lanes, pad_lanes_to=pad_lanes_to,
+        grid_shape=GRID_SHAPE, raster_shape=RASTER_SHAPE,
+    )
     key_to_idx = {
         (int(r), int(l)): i
         for i, (r, l) in enumerate(

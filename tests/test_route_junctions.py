@@ -71,8 +71,12 @@ def test_shipped_straight_routes_compile():
     configs = parse_routes_file(ROUTES_XML)[:3]
     tmap, paths = map_from_routes([c.keypoints for c in configs], num_lanes=2)
     assert all(len(p) > 0 for p in paths)
-    for c in configs:
-        start = np.asarray(c.keypoints[0, :2], np.float32)
+    # routes are tiled into map frame — the compiled route start (not the
+    # raw XML coordinate) must be drivable
+    from rift_tpu.map import route_waypoints
+
+    for p in paths:
+        start = route_waypoints(tmap, p)[0, :2]
         assert bool(tmap.on_road(start))
 
 
@@ -89,8 +93,10 @@ def test_shipped_bendy_routes_get_junctions():
     assert len(bendy) == 5
     tmap, paths = map_from_routes([c.keypoints for c in bendy], num_lanes=2)
     assert all(len(p) > 0 for p in paths)
-    for c in bendy:
-        start = np.asarray(c.keypoints[0, :2], np.float32)
+    from rift_tpu.map import route_waypoints
+
+    for p in paths:
+        start = route_waypoints(tmap, p)[0, :2]
         assert bool(tmap.on_road(start))
     assert np.asarray(tmap.is_junction).any()
     assert (np.asarray(tmap.light_group) >= 0).any()
