@@ -37,7 +37,7 @@ from .stop_signs import stop_target_speed, stop_zone_info, update_stop_memory
 from .traffic_lights import ego_red_light_entry, red_ahead
 
 GOAL_RADIUS = 3.0  # CBV reach-goal distance (route_planner.py reach check)
-WALKER_RANGE = 15.0  # walkers patrol within this radius of their anchor
+WALKER_RANGE = 15.0  # crossing distance from the curb anchor before halting
 
 
 def autopilot_target_speed(
@@ -116,26 +116,22 @@ def step(
         state.pos, state.heading, state.speed, action, dt
     )
 
-    # walkers: constant-speed straight walk, bouncing inside a patrol
-    # corridor around their anchor (stored in `goal`) — the crossing
-    # pedestrians of CARLA scenarios without the walker AI controller
+    # walkers: straight road crossing from their curb anchor (stored in
+    # `goal`), halting at the far side once WALKER_RANGE has been covered —
+    # CARLA's DynamicObjectCrossing walker without the AI controller: one
+    # crossing event per walker, then a standing pedestrian obstacle
     is_walker = state.agent_class == CLASS_WALKER
     is_static = state.agent_class == CLASS_STATIC
     walk_dir = jnp.stack(
         [jnp.cos(state.heading), jnp.sin(state.heading)], axis=-1
     )
-    walker_pos = state.pos + state.speed[..., None] * dt * walk_dir
-    from_anchor = walker_pos - state.goal
-    moving_away = jnp.sum(from_anchor * walk_dir, axis=-1) > 0.0
-    flip = (
-        (jnp.linalg.norm(from_anchor, axis=-1) > WALKER_RANGE) & moving_away
-    )
-    walker_heading = jnp.where(
-        flip, wrap_angle(state.heading + jnp.pi), state.heading
-    )
+    progress = jnp.linalg.norm(state.pos - state.goal, axis=-1)
+    crossing = progress < WALKER_RANGE
+    walker_speed = jnp.where(crossing, state.speed, 0.0)
+    walker_pos = state.pos + walker_speed[..., None] * dt * walk_dir
     new_pos = jnp.where(is_walker[..., None], walker_pos, new_pos)
-    new_heading = jnp.where(is_walker, walker_heading, new_heading)
-    new_speed = jnp.where(is_walker, state.speed, new_speed)
+    new_heading = jnp.where(is_walker, state.heading, new_heading)
+    new_speed = jnp.where(is_walker, walker_speed, new_speed)
     # statics never move
     frozen_agent = ~state.alive | is_static
     new_pos = jnp.where(frozen_agent[..., None], state.pos, new_pos)
