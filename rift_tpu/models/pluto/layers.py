@@ -83,9 +83,40 @@ class FourierEmbedding(nn.Module):
         return nn.Dense(self.dim, name="out_fc", dtype=self.dtype)(out)
 
 
+class _Lin(nn.Module):
+    """nn.Dense-compatible params (kernel/bias) with a weights() accessor so
+    fused kernels can consume them without materialising the module path."""
+
+    features: int
+
+    @nn.compact
+    def weights(self, in_dim: int):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_dim, self.features)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class _LNP(nn.Module):
+    """nn.LayerNorm-compatible params (scale/bias) accessor."""
+
+    @nn.compact
+    def weights(self, dim: int):
+        s = self.param("scale", nn.initializers.ones, (dim,))
+        b = self.param("bias", nn.initializers.zeros, (dim,))
+        return s, b
+
+
 class PointsEncoder(nn.Module):
     """Masked PointNet: per-point MLP, max-pool, concat global, second MLP,
-    final max-pool (reference layers/embedding.py:PointsEncoder)."""
+    final max-pool (reference layers/embedding.py:PointsEncoder).
+
+    The whole pipeline runs through ops/points.py: one fused Pallas kernel
+    on TPU (the XLA path materialised ~0.5 GB/tick of layout-padded
+    intermediates over the 12k polygon rows), the same math via XLA
+    elsewhere and for the backward. Param tree stays nn.Dense/nn.LayerNorm
+    shaped (Dense_0..3, LayerNorm_0/1) for the torch converter."""
 
     out_dim: int
     dtype: Optional[jnp.dtype] = None
@@ -97,9 +128,7 @@ class PointsEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, mask):
         # x: (..., N, C); mask: (..., N)
-        # flatten leading dims to 3D: the TPU compiler's fusion pass hits an
-        # internal TransformWindow assertion on >=4D masked max-reductions
-        # (observed on v5e); 3D also matches the reference's reshape.
+        # flatten leading dims to 3D (one row per polygon/line)
         batch = x.shape[:-2]
         if len(batch) > 1:
             out = PointsEncoder(
@@ -109,28 +138,30 @@ class PointsEncoder(nn.Module):
                 mask.reshape((-1,) + mask.shape[-1:]),
             )
             return out.reshape(batch + (self.out_dim,))
-        h = nn.Dense(128, dtype=self.dtype)(x)
-        if self.norm == "ln":
-            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(h)
-        h = nn.relu(h)
-        h = nn.Dense(256, dtype=self.dtype)(h)
-        h = jnp.where(mask[..., None], h, -1e9)
-        # barrier: fusing this masked max with its MLP producer trips an
-        # internal TransformWindow assertion in the v5e XLA fusion pass
-        h = jax.lax.optimization_barrier(h)
-        pooled = h.max(axis=-2, keepdims=True)
-        h = jnp.concatenate([h, jnp.broadcast_to(pooled, h.shape)], axis=-1)
-        h = nn.Dense(256, dtype=self.dtype)(h)
-        if self.norm == "ln":
-            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(h)
-        h = nn.relu(h)
-        h = nn.Dense(self.out_dim, dtype=self.dtype)(h)
-        h = jnp.where(mask[..., None], h, -1e9)
-        h = jax.lax.optimization_barrier(h)
-        out = h.max(axis=-2)
-        # all-masked rows would be -1e9 -> zero them
-        any_valid = mask.any(axis=-1)
-        return jnp.where(any_valid[..., None], out, 0.0)
+
+        from ...ops.points import points_encoder
+
+        C = x.shape[-1]
+        has_ln = self.norm == "ln"
+        w1, b1 = _Lin(128, name="Dense_0").weights(C)
+        if has_ln:
+            ln1s, ln1b = _LNP(name="LayerNorm_0").weights(128)
+        else:
+            ln1s, ln1b = jnp.ones(128), jnp.zeros(128)
+        w2, b2 = _Lin(256, name="Dense_1").weights(128)
+        w3, b3 = _Lin(256, name="Dense_2").weights(512)
+        if has_ln:
+            ln2s, ln2b = _LNP(name="LayerNorm_1").weights(256)
+        else:
+            ln2s, ln2b = jnp.ones(256), jnp.zeros(256)
+        w4, b4 = _Lin(self.out_dim, name="Dense_3").weights(256)
+
+        out = points_encoder(
+            x, mask,
+            (w1, b1, ln1s, ln1b, w2, b2, w3, b3, ln2s, ln2b, w4, b4),
+            self.out_dim, has_ln=has_ln,
+        )
+        return out.astype(self.dtype or x.dtype)
 
 
 def drop_path(x, rate: float, deterministic: bool, rng):
