@@ -17,11 +17,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _key_name(k) -> str:
+    """Tree-path entry -> plain dict key. str(DictKey) is version-dependent
+    (\"DictKey(key='x')\" in older jax, \"['x']\" since 0.4.27), which made
+    load_params_npz rebuild mismatched keys and merge_params silently keep
+    the fresh init — every pretrain load was a no-op. Use the attribute."""
+    if hasattr(k, "key"):
+        return str(k.key)
+    if hasattr(k, "idx"):
+        return str(k.idx)
+    return str(k)
+
+
 def save_params_npz(params, path: str):
     """Flat npz of a (nested-dict) params pytree."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     np.savez(path, **{
-        "/".join(str(k) for k in p): np.asarray(v) for p, v in flat
+        "/".join(_key_name(k) for k in p): np.asarray(v) for p, v in flat
     })
 
 
@@ -32,7 +44,10 @@ def load_params_npz(path: str) -> dict:
     for key in data.files:
         parts = []
         for p in key.split("/"):
-            m = re.match(r"DictKey\(key='(.+?)'\)", p)
+            # legacy stringified-path formats from older artifacts
+            m = re.match(r"DictKey\(key='(.+?)'\)", p) or re.match(
+                r"\['(.+?)'\]", p
+            )
             parts.append(m.group(1) if m else p)
         d = out
         for p in parts[:-1]:
@@ -45,14 +60,29 @@ def merge_params(template: dict, loaded: dict) -> dict:
     """Recursively overlay `loaded` onto `template`: keys present in both
     take the loaded value, template-only keys keep their (e.g. freshly
     initialised) value — so a pretrain without a value head still loads
-    into ppo_pluto's value-headed model."""
-    out = {}
-    for k, v in template.items():
-        if k in loaded:
-            if isinstance(v, dict):
-                out[k] = merge_params(v, loaded[k])
+    into ppo_pluto's value-headed model. Raises if NOTHING matches: a
+    zero-overlap merge means the artifact's key format is wrong and the
+    \"load\" would silently be a no-op."""
+
+    def rec(template, loaded):
+        out, n = {}, 0
+        for k, v in template.items():
+            if k in loaded:
+                if isinstance(v, dict):
+                    out[k], m = rec(v, loaded[k])
+                    n += m
+                else:
+                    out[k] = loaded[k]
+                    n += 1
             else:
-                out[k] = loaded[k]
-        else:
-            out[k] = v
+                out[k] = v
+        return out, n
+
+    out, matched = rec(template, loaded)
+    if matched == 0:
+        raise ValueError(
+            "merge_params: no keys in the loaded artifact match the params "
+            f"template (template top-level: {list(template)[:4]}, loaded "
+            f"top-level: {list(loaded)[:4]}) — wrong or corrupt npz"
+        )
     return out

@@ -156,3 +156,44 @@ def test_collect_buffer_hdf5(tmp_path):
     assert data["pos"].shape == (10, 1, 4, 2)
     assert data["rl_action"].shape == (10, 1, 4, 2)
     assert (data["tick"][:, 0] == np.arange(1, 11)).all()
+
+
+def test_params_npz_roundtrip_and_merge(tmp_path):
+    """save/load must preserve EXACT tree keys across jax DictKey-str
+    changes (a format drift once made every pretrain load a silent no-op),
+    and merge_params must raise on zero overlap instead of no-opping."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from rift_tpu.utils.params_io import (
+        load_params_npz, merge_params, save_params_npz,
+    )
+
+    params = {
+        "params": {
+            "enc": {"kernel": jnp.arange(6.0).reshape(2, 3), "bias": jnp.ones(3)},
+            "pi_head": {"kernel": jnp.full((3, 1), 2.0)},
+        }
+    }
+    p = str(tmp_path / "p.npz")
+    save_params_npz(params, p)
+    loaded = load_params_npz(p)
+    assert jax.tree_util.tree_structure(loaded) == jax.tree_util.tree_structure(params)
+    assert all(
+        bool((a == b).all())
+        for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(params))
+    )
+    # merge keeps template-only keys, takes loaded values elsewhere
+    template = {
+        "params": {
+            "enc": {"kernel": jnp.zeros((2, 3)), "bias": jnp.zeros(3)},
+            "pi_head": {"kernel": jnp.zeros((3, 1))},
+            "value_head": {"kernel": jnp.full((3, 1), 7.0)},
+        }
+    }
+    merged = merge_params(template, loaded)
+    assert float(merged["params"]["enc"]["kernel"][1, 2]) == 5.0
+    assert float(merged["params"]["value_head"]["kernel"][0, 0]) == 7.0
+    with pytest.raises(ValueError):
+        merge_params(template, {"bogus": {"x": jnp.zeros(1)}})
