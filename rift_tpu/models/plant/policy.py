@@ -117,9 +117,13 @@ def build_plant_tokens(
 def plant_ego_waypoints(
     model, params, spec: ScenarioSpec, state: SimState
 ) -> jnp.ndarray:
-    """[S, pred_len, 2] local waypoints for the env's ego_traj interface."""
+    """[S, N, 2] local waypoints for the env's ego_traj interface."""
+    from ...sim.pid import densify_local_waypoints
+
     tokens, target, light = build_plant_tokens(spec, state)
     out = model.apply(params, tokens, target, light)
     # undo the lidar shift so waypoints are in the vehicle frame
     wp = out["pred_wp"].at[..., 0].add(1.3)
-    return wp
+    # 0.5 s-spaced predictions -> the tracker's 0.1 s grid (train.py
+    # WAYPOINT_STRIDE labels; padding with the last point read as "stop")
+    return densify_local_waypoints(wp, wp_dt=0.5)

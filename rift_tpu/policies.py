@@ -723,29 +723,68 @@ class EgoPPO:
         mgr.save(self.ppo.params._asdict(), episode, name="ego_ppo")
 
 
-class E2EStub:
-    """'vad' / 'uniad' / 'sparsedrive' — end-to-end camera AV stacks. The
-    kinematic tick has no camera rendering yet (SURVEY.md §7 stage 9);
-    these register the interface and fail loudly."""
+class E2EEgo:
+    """'vad' / 'uniad' / 'sparsedrive' — end-to-end camera AV stacks on
+    the synthetic semantic-camera bridge (ego/sensors.py; the reference's
+    UE4 sensor rig, rift/ego/b2d/e2e_agent.py:20-142). Weights load from
+    an npz (cfg['weights'] or --pretrain); `train_bc` bootstraps them by
+    cloning the PDM expert closed-loop (models/e2e/train.py)."""
 
-    type = "e2e"
+    type = "il"
 
-    def __init__(self, tmap, cfg=None):
-        raise NotImplementedError(
-            f"{self.name}: E2E camera AV stacks need the sensor-rendering "
-            "bridge (planned; see DESIGN.md roadmap)."
+    def __init__(self, tmap, cfg=None, seed=0):
+        from .models.e2e import E2EModel
+
+        cfg = cfg or {}
+        self.tmap = tmap
+        self.model = E2EModel(
+            variant=self.name,
+            dim=cfg.get("dim", 64),
+            num_heads=cfg.get("num_heads", 4),
         )
+        self.params = None
+        self.rng = jax.random.PRNGKey(cfg.get("seed", seed))
+        w = cfg.get("weights")
+        if w:
+            self.load(w)
+
+    def act(self, spec, state):
+        from .models.e2e import e2e_ego_waypoints, e2e_inputs
+
+        if self.params is None:
+            imgs, target, speed = e2e_inputs(spec, state, self.tmap)
+            self.rng, k = jax.random.split(self.rng)
+            self.params = jax.jit(self.model.init)(k, imgs, target, speed)
+        return e2e_ego_waypoints(self.model, self.params, self.tmap, spec, state)
+
+    def train_bc(self, spec, state, crit, **kw):
+        from .models.e2e import bc_train
+
+        self.params, losses = bc_train(
+            self.name, self.tmap, spec, state, crit, **kw
+        )
+        return losses
+
+    def load(self, path):
+        from .utils.params_io import load_params_npz
+
+        self.params = load_params_npz(path)
+
+    def save(self, path):
+        from .utils.params_io import save_params_npz
+
+        save_params_npz(self.params, path)
 
 
-class VADStub(E2EStub):
+class VADEgo(E2EEgo):
     name = "vad"
 
 
-class UniADStub(E2EStub):
+class UniADEgo(E2EEgo):
     name = "uniad"
 
 
-class SparseDriveStub(E2EStub):
+class SparseDriveEgo(E2EEgo):
     name = "sparsedrive"
 
 
@@ -756,9 +795,9 @@ EGO_POLICY_LIST: dict[str, Callable] = {
     "plant": PlanTEgo,
     "expert_disturb": ExpertDisturbEgo,
     "pdm_lite": PDMLiteEgo,
-    "vad": VADStub,
-    "uniad": UniADStub,
-    "sparsedrive": SparseDriveStub,
+    "vad": VADEgo,
+    "uniad": UniADEgo,
+    "sparsedrive": SparseDriveEgo,
 }
 
 # recognition registry (rift/cbv/recognition/__init__.py:12)

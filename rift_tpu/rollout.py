@@ -186,6 +186,10 @@ def rollout_chunk(
             from .models.plant.policy import plant_ego_waypoints
 
             return plant_ego_waypoints(ego_model, ego_params, spec, state)
+        if ego == "e2e":
+            from .models.e2e.policy import e2e_ego_waypoints
+
+            return e2e_ego_waypoints(ego_model, ego_params, tmap, spec, state)
         return None  # env_step falls back to the rule ego
 
     def body(carry, _):

@@ -88,6 +88,9 @@ FUSED_EGO_KIND = {
     "expert": "expert",  # pdm + privileged lane changes
     "behavior": "rule",
     "plant": "plant",
+    "vad": "e2e",
+    "uniad": "e2e",
+    "sparsedrive": "e2e",
 }
 FUSED_CHUNK = 20  # ticks per fused device program
 
@@ -105,7 +108,7 @@ def run_episode_fused(
 
     ego_kind = FUSED_EGO_KIND[ego.name]
     ego_model = ego_params = None
-    if ego_kind == "plant":
+    if ego_kind in ("plant", "e2e"):
         if ego.params is None:
             ego.act(spec, state)  # lazy init
         ego_model, ego_params = ego.model, ego.params

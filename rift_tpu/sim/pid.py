@@ -99,6 +99,32 @@ class TrackerState(NamedTuple):
         )
 
 
+def densify_local_waypoints(
+    wp: jnp.ndarray,  # [..., K, 2] sparse local waypoints
+    wp_dt: float = 0.5,  # seconds between them (first at t=wp_dt)
+    dt: float = 0.1,
+    num_points: int = 30,
+) -> jnp.ndarray:
+    """Sparse planner waypoints -> the tracker's dt-per-point trajectory.
+
+    track_step infers desired speed from consecutive-sample spacing, so a
+    K=4-point prediction (PlanT / E2E heads, 0.5 s apart) must be
+    resampled to the 0.1 s grid — padding with the final waypoint reads
+    as "stop" (VADEgo/PlanTEgo silently braked before this). Linear
+    interpolation between knots, constant-velocity extrapolation past the
+    last one (the reference's PID also extrapolates its aim point,
+    plant/model.py control_pid)."""
+    K = wp.shape[-2]
+    origin = jnp.zeros_like(wp[..., :1, :])
+    knots = jnp.concatenate([origin, wp], axis=-2)  # [..., K+1, 2] t=k*wp_dt
+    t = (jnp.arange(num_points, dtype=jnp.float32) + 1.0) * dt / wp_dt
+    idx = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, K - 1)
+    frac = t - idx  # >1 past the last knot -> linear extrapolation
+    p0 = knots[..., idx, :]
+    p1 = knots[..., idx + 1, :]
+    return p0 + frac[..., None] * (p1 - p0)
+
+
 def track_step(
     state: TrackerState,
     local_waypoints: jnp.ndarray,  # [..., T, 2] trajectory in vehicle frame

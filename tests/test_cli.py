@@ -32,9 +32,11 @@ def test_config_loading_and_overrides():
     assert m == {"a": {"b": 9, "c": 2}}
 
 
-def test_e2e_stubs_fail_loudly():
-    with pytest.raises(NotImplementedError):
-        EGO_POLICY_LIST["vad"](None, {})
+def test_e2e_registry_instantiates():
+    # the former stubs are real policies now (tests/test_e2e_agent.py)
+    for key in ("vad", "uniad", "sparsedrive"):
+        ego = EGO_POLICY_LIST[key](None, {})
+        assert ego.name == key and ego.type == "il"
 
 
 def test_cli_eval_standard_mode(tmp_path):

@@ -46,7 +46,8 @@ def test_build_plant_tokens_and_ego_waypoints():
     model = PlanTModel(dim=64, num_layers=2, num_heads=2)
     params = model.init(jax.random.PRNGKey(0), tokens, target, light)
     wp = plant_ego_waypoints(model, params, spec, state)
-    assert wp.shape == (2, 4, 2)
+    # densified to the tracker's 0.1 s grid (sim/pid.densify_local_waypoints)
+    assert wp.shape == (2, 30, 2)
 
     # drive closed-loop with the PlanT ego
     for _ in range(5):
