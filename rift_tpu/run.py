@@ -516,7 +516,20 @@ def main(argv=None):
         and ego.name in FUSED_EGO_KIND
     )
 
+    # experiment tracking: one offline run dir per invocation (the
+    # reference's offline-wandb contract, training_builder.py:101-118;
+    # browse/compare with tools/runs.py)
+    from .utils.tracking import init_run
+
+    track = init_run(
+        args.mode,
+        name=f"{ego.name}-{cbv.name}-seed{args.seed}",
+        config=vars(args),
+        base_dir=os.path.join(out_dir, "runs"),
+    )
+
     for ep in range(start_ep, args.num_episodes):
+        ep_losses = []
         state, crit, spec, batch_cfgs = reset_env(ep)
         if (
             args.pretrain
@@ -531,6 +544,7 @@ def main(argv=None):
                 env, ego, cbv, state, crit, spec, args.max_ticks, tmap
             )
             if losses:
+                ep_losses = losses
                 print(f"episode {ep}: ego PPO losses {losses[:3]}...")
             if hasattr(ego, "save"):
                 ego.save(ckpt, ep)
@@ -539,6 +553,7 @@ def main(argv=None):
                 env, ego, cbv, state, crit, spec, args.max_ticks
             )
             if losses:
+                ep_losses = losses
                 print(f"episode {ep}: classic CBV PPO losses {losses[:3]}...")
             if hasattr(cbv, "save"):
                 cbv.save(ckpt, ep)
@@ -553,6 +568,7 @@ def main(argv=None):
             )
             if train_cbv_mode and hasattr(cbv, "buffer_full") and cbv.buffer_full():
                 losses = cbv.train_round()
+                ep_losses = losses
                 print(f"episode {ep}: fine-tune losses {losses}")
                 if hasattr(cbv, "save"):
                     cbv.save(ckpt, ep)
@@ -604,6 +620,7 @@ def main(argv=None):
                 print(f"episode {ep}: wrote {recorder.save(f'ep{ep}')}")
             if train_cbv_mode and hasattr(cbv, "buffer_full") and cbv.buffer_full():
                 losses = cbv.train_round()
+                ep_losses = losses
                 print(f"episode {ep}: fine-tune losses {losses}")
                 if hasattr(cbv, "save"):
                     cbv.save(ckpt, ep)
@@ -623,14 +640,18 @@ def main(argv=None):
         from .utils.logger import Logger
 
         Logger(out_dir).write_live_results(stats.live_results_text())
-        print(
-            f"episode {ep}: DS="
-            f"{np.mean([r.driving_score for r in stats.records[-n_new:]]):.1f}"
+        ds = float(np.mean([r.driving_score for r in stats.records[-n_new:]]))
+        track.log(
+            {"episode": ep, "driving_score": ds,
+             **({"loss": float(ep_losses[-1])} if ep_losses else {})},
+            step=ep,
         )
+        print(f"episode {ep}: DS={ds:.1f}")
 
     if collect_buffer is not None:
         path = collect_buffer.save()
         print(f"collect_data: wrote {path}")
+        track.finish()
         return path
 
     if args.save_pretrain and hasattr(cbv, "save_pretrain"):
@@ -638,6 +659,10 @@ def main(argv=None):
         print(f"saved pretrain {args.save_pretrain}")
 
     g = stats.compute_global_statistics()
+    track.summary.update(
+        {k: v for k, v in g.__dict__.items() if isinstance(v, (int, float))}
+    )
+    track.finish()
     print(json.dumps(g.__dict__, indent=2))
     return g
 

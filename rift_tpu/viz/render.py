@@ -165,16 +165,40 @@ class VideoRecorder:
         plt.close(fig)
 
     def save(self, name: str = "episode"):
+        """Write the captured frames: mp4 when an encoder is available
+        (cv2's bundled mp4v — the reference's imageio-ffmpeg mp4 writer,
+        video_render.py:78), GIF fallback otherwise, plus a last-frame PNG."""
         if not self.frames:
             return None
         from PIL import Image
 
-        imgs = [Image.fromarray(f) for f in self.frames]
-        gif_path = os.path.join(self.out_dir, f"{name}.gif")
-        imgs[0].save(
-            gif_path, save_all=True, append_images=imgs[1:], duration=100,
-            loop=0,
+        path = self._save_mp4(name)
+        if path is None:
+            imgs = [Image.fromarray(f) for f in self.frames]
+            path = os.path.join(self.out_dir, f"{name}.gif")
+            imgs[0].save(
+                path, save_all=True, append_images=imgs[1:], duration=100,
+                loop=0,
+            )
+        Image.fromarray(self.frames[-1]).save(
+            os.path.join(self.out_dir, f"{name}_last.png")
         )
-        imgs[-1].save(os.path.join(self.out_dir, f"{name}_last.png"))
         self.frames = []
-        return gif_path
+        return path
+
+    def _save_mp4(self, name: str, fps: int = 10):
+        try:
+            import cv2
+        except ImportError:
+            return None
+        path = os.path.join(self.out_dir, f"{name}.mp4")
+        h, w = self.frames[0].shape[:2]
+        vw = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+        )
+        if not vw.isOpened():
+            return None
+        for f in self.frames:
+            vw.write(f[..., ::-1])  # RGB -> BGR
+        vw.release()
+        return path
