@@ -333,3 +333,172 @@ def deformable_aggregation(
             v = jax.vmap(_bilinear_sample)(fmap, px, py)  # [bs, pts, C]
             out = out + v * weights[:, :, ci, si][..., None]
     return out
+
+
+# ---------------------------------------------------------------------------
+# point-cloud ops (mmcv/ops/csrc: voxelization, knn, furthest_point_sample,
+# iou3d) — fixed-shape TPU formulations: ragged voxel lists become padded
+# [max_voxels, max_points] tensors with validity masks, scatters become
+# sort + segment ranking (compiler-friendly; no atomics)
+# ---------------------------------------------------------------------------
+@partial(
+    jax.jit,
+    static_argnames=("voxel_size", "pc_range", "max_voxels", "max_points"),
+)
+def voxelize(
+    points: jnp.ndarray,  # [N, C>=3] (x, y, z, feats...)
+    valid: jnp.ndarray,  # [N] bool
+    voxel_size: tuple,  # (vx, vy, vz)
+    pc_range: tuple,  # (x0, y0, z0, x1, y1, z1)
+    max_voxels: int = 256,
+    max_points: int = 16,
+):
+    """Hard voxelization (mmcv ops/voxelize.py Voxelization.forward):
+    returns (voxels [V, P, C], coords [V, 3] int32 (ix, iy, iz),
+    num_points [V], voxel_valid [V]). Points beyond `max_points` in a
+    voxel and voxels beyond `max_voxels` are dropped, like the CUDA op."""
+    N, C = points.shape
+    x0, y0, z0, x1, y1, z1 = pc_range
+    vx, vy, vz = voxel_size
+    nx = max(int(round((x1 - x0) / vx)), 1)
+    ny = max(int(round((y1 - y0) / vy)), 1)
+    nz = max(int(round((z1 - z0) / vz)), 1)
+
+    ix = jnp.floor((points[:, 0] - x0) / vx).astype(jnp.int32)
+    iy = jnp.floor((points[:, 1] - y0) / vy).astype(jnp.int32)
+    iz = jnp.floor((points[:, 2] - z0) / vz).astype(jnp.int32)
+    in_range = (
+        (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny) & (iz >= 0) & (iz < nz)
+    )
+    ok = valid & in_range
+    lin = jnp.where(ok, (iz * ny + iy) * nx + ix, jnp.iinfo(jnp.int32).max)
+
+    # stable sort by voxel id keeps the CUDA op's first-come point order
+    order = jnp.argsort(lin, stable=True)
+    slin = lin[order]
+    # rank of each point within its voxel run
+    same = jnp.concatenate([jnp.array([False]), slin[1:] == slin[:-1]])
+    seg_start = jnp.where(~same, jnp.arange(N), 0)
+    start_cummax = jax.lax.associative_scan(jnp.maximum, seg_start)
+    rank = jnp.arange(N) - start_cummax
+    # voxel index = number of distinct ids before this run
+    new_voxel = (~same) & (slin != jnp.iinfo(jnp.int32).max)
+    vidx = jnp.cumsum(new_voxel) - 1  # [N] sorted-order voxel slot
+
+    keep = (
+        (slin != jnp.iinfo(jnp.int32).max)
+        & (rank < max_points)
+        & (vidx < max_voxels)
+    )
+    dst_v = jnp.where(keep, vidx, max_voxels)  # overflow row
+    dst_p = jnp.where(keep, rank, 0)
+
+    voxels = jnp.zeros((max_voxels + 1, max_points, C), points.dtype)
+    voxels = voxels.at[dst_v, dst_p].set(points[order])[: max_voxels]
+    num = (
+        jnp.zeros(max_voxels + 1, jnp.int32)
+        .at[dst_v]
+        .add(keep.astype(jnp.int32))[:max_voxels]
+    )
+    slin_clip = jnp.maximum(slin, 0)
+    cz = slin_clip // (nx * ny)
+    cy = (slin_clip - cz * nx * ny) // nx
+    cx = slin_clip - cz * nx * ny - cy * nx
+    coords = jnp.zeros((max_voxels + 1, 3), jnp.int32)
+    coords = coords.at[dst_v].set(
+        jnp.stack([cx, cy, cz], -1).astype(jnp.int32)
+    )[:max_voxels]
+    return voxels, coords, num, num > 0
+
+
+def dynamic_scatter_mean(
+    feats: jnp.ndarray,  # [N, C] per-point features
+    voxel_id: jnp.ndarray,  # [N] int32 target voxel slot (< V), -1 = drop
+    num_voxels: int,
+):
+    """mmcv DynamicScatter(mode='mean'): mean-pool point features per
+    voxel -> [V, C] (zero where empty)."""
+    ok = voxel_id >= 0
+    dst = jnp.where(ok, voxel_id, num_voxels)
+    s = jnp.zeros((num_voxels + 1, feats.shape[-1]), feats.dtype).at[dst].add(
+        jnp.where(ok[:, None], feats, 0.0)
+    )
+    n = jnp.zeros(num_voxels + 1, jnp.int32).at[dst].add(ok.astype(jnp.int32))
+    return s[:num_voxels] / jnp.maximum(n[:num_voxels, None], 1)
+
+
+def knn(
+    query: jnp.ndarray,  # [Q, D]
+    points: jnp.ndarray,  # [N, D]
+    k: int,
+    valid: jnp.ndarray | None = None,  # [N] bool
+):
+    """mmcv ops/knn: indices [Q, k] of the k nearest `points` per query
+    (invalid points excluded; all-invalid queries return index 0s)."""
+    d = jnp.sum((query[:, None] - points[None]) ** 2, -1)  # [Q, N]
+    if valid is not None:
+        d = jnp.where(valid[None], d, jnp.inf)
+    _, idx = jax.lax.top_k(-d, k)
+    return idx
+
+
+@partial(jax.jit, static_argnames=("num_samples",))
+def furthest_point_sample(
+    points: jnp.ndarray,  # [N, D]
+    num_samples: int,
+    valid: jnp.ndarray | None = None,
+):
+    """mmcv ops/furthest_point_sample: greedy max-min selection starting
+    from index 0 -> indices [num_samples]."""
+    N = points.shape[0]
+    big = jnp.where(valid, 0.0, -jnp.inf) if valid is not None else jnp.zeros(N)
+
+    def body(carry, _):
+        mind, last = carry
+        d = jnp.sum((points - points[last]) ** 2, -1)
+        mind = jnp.minimum(mind, d)
+        nxt = jnp.argmax(mind + big)
+        return (mind, nxt), nxt
+
+    init = (jnp.full((N,), jnp.inf), jnp.int32(0))
+    _, idx = jax.lax.scan(body, init, None, length=num_samples - 1)
+    return jnp.concatenate([jnp.array([0], jnp.int32), idx.astype(jnp.int32)])
+
+
+def boxes_iou3d(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
+    """mmcv iou3d boxes_iou3d_gpu: [N, 7] x [M, 7] (x, y, z, dx, dy, dz,
+    yaw; z = box center) -> IoU [N, M]: exact rotated BEV intersection x
+    z-extent overlap."""
+    bev1 = boxes1[:, [0, 1, 3, 4, 6]]
+    bev2 = boxes2[:, [0, 1, 3, 4, 6]]
+    inter_bev = jax.vmap(
+        lambda b1: jax.vmap(lambda b2: rotated_box_intersection(b1, b2))(bev2)
+    )(bev1)  # [N, M]
+    z1lo = boxes1[:, 2] - boxes1[:, 5] * 0.5
+    z1hi = boxes1[:, 2] + boxes1[:, 5] * 0.5
+    z2lo = boxes2[:, 2] - boxes2[:, 5] * 0.5
+    z2hi = boxes2[:, 2] + boxes2[:, 5] * 0.5
+    zo = jnp.maximum(
+        jnp.minimum(z1hi[:, None], z2hi[None]) -
+        jnp.maximum(z1lo[:, None], z2lo[None]),
+        0.0,
+    )
+    inter = inter_bev * zo
+    v1 = boxes1[:, 3] * boxes1[:, 4] * boxes1[:, 5]
+    v2 = boxes2[:, 3] * boxes2[:, 4] * boxes2[:, 5]
+    return inter / jnp.maximum(v1[:, None] + v2[None] - inter, 1e-8)
+
+
+def nms3d(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float = 0.3):
+    """mmcv iou3d nms_gpu: greedy NMS on 3D IoU -> keep mask [N]."""
+    N = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    iou = boxes_iou3d(boxes[order], boxes[order])
+
+    def body(kept, i):
+        sup = (iou[i] > iou_threshold) & kept & (jnp.arange(N) < i)
+        keep_i = ~sup.any()
+        return kept.at[i].set(keep_i), keep_i
+
+    kept, _ = jax.lax.scan(body, jnp.zeros(N, bool), jnp.arange(N))
+    return kept[jnp.argsort(order)]

@@ -222,3 +222,105 @@ def test_deformable_aggregation_reduces_over_cams_and_scales():
         jnp.asarray(feat), shapes, jnp.asarray(loc), jnp.zeros_like(jnp.asarray(w))
     )
     np.testing.assert_allclose(_np(out0), 0.0, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# point-cloud ops vs numpy oracles
+# ---------------------------------------------------------------------------
+def test_voxelize_matches_numpy_oracle():
+    from rift_tpu.ops.e2e import voxelize
+
+    rng = np.random.default_rng(3)
+    N = 200
+    pts = rng.uniform([-2, -2, -1], [6, 6, 3], size=(N, 3)).astype(np.float32)
+    pts = np.concatenate([pts, rng.normal(size=(N, 2)).astype(np.float32)], 1)
+    valid = rng.uniform(size=N) > 0.1
+    vs, rng_pc = (1.0, 1.0, 2.0), (0.0, 0.0, 0.0, 4.0, 4.0, 4.0)
+    V, P = 32, 4
+
+    voxels, coords, num, vvalid = voxelize(
+        jnp.asarray(pts), jnp.asarray(valid), vs, rng_pc,
+        max_voxels=V, max_points=P,
+    )
+    # numpy oracle: first-come order, same caps
+    oracle: dict[tuple, list] = {}
+    order_ids: list[tuple] = []
+    for i in range(N):
+        if not valid[i]:
+            continue
+        ids = tuple(int(np.floor((pts[i, d] - rng_pc[d]) / vs[d])) for d in range(3))
+        if not all(0 <= ids[d] < 4 // (2 if d == 2 else 1) for d in range(3)):
+            # grid is 4x4x2 cells
+            continue
+        if ids not in oracle:
+            oracle[ids] = []
+            order_ids.append(ids)
+        if len(oracle[ids]) < P:
+            oracle[ids].append(pts[i])
+    # our op orders voxels by linear id (sorted), not first-come — compare as sets
+    got = {}
+    for v in range(V):
+        if not bool(vvalid[v]):
+            continue
+        c = tuple(int(x) for x in np.asarray(coords[v]))
+        got[c] = np.asarray(voxels[v, : int(num[v])])
+    want = {k: np.stack(v) for k, v in oracle.items()}
+    # cap to max_voxels by our op's sorted order
+    assert len(got) == min(len(want), V)
+    for c, g in got.items():
+        w = want[c]
+        assert g.shape == w.shape, (c, g.shape, w.shape)
+        # same point multiset (row order within a voxel is arrival order)
+        np.testing.assert_allclose(g, w, atol=1e-6)
+
+
+def test_dynamic_scatter_mean():
+    from rift_tpu.ops.e2e import dynamic_scatter_mean
+
+    feats = jnp.asarray([[1.0, 0.0], [3.0, 0.0], [0.0, 5.0], [9.0, 9.0]])
+    vid = jnp.asarray([0, 0, 2, -1])
+    out = dynamic_scatter_mean(feats, vid, 3)
+    np.testing.assert_allclose(_np(out[0]), [2.0, 0.0])
+    np.testing.assert_allclose(_np(out[1]), [0.0, 0.0])
+    np.testing.assert_allclose(_np(out[2]), [0.0, 5.0])
+
+
+def test_knn_matches_numpy():
+    from rift_tpu.ops.e2e import knn
+
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(5, 3)).astype(np.float32)
+    p = rng.normal(size=(50, 3)).astype(np.float32)
+    valid = rng.uniform(size=50) > 0.3
+    idx = _np(knn(jnp.asarray(q), jnp.asarray(p), 4, jnp.asarray(valid)))
+    d = ((q[:, None] - p[None]) ** 2).sum(-1)
+    d[:, ~valid] = np.inf
+    want = np.argsort(d, axis=1)[:, :4]
+    np.testing.assert_array_equal(np.sort(idx, 1), np.sort(want, 1))
+
+
+def test_furthest_point_sample_greedy():
+    from rift_tpu.ops.e2e import furthest_point_sample
+
+    # 1D line: FPS from index 0 must pick the far end next, then the middle
+    pts = np.zeros((5, 3), np.float32)
+    pts[:, 0] = [0.0, 1.0, 4.0, 9.0, 10.0]
+    idx = _np(furthest_point_sample(jnp.asarray(pts), 3))
+    assert idx[0] == 0 and idx[1] == 4  # farthest from 0 is x=10
+    assert idx[2] == 2  # max-min point between the two ends (x=4)
+
+
+def test_boxes_iou3d_and_nms3d():
+    from rift_tpu.ops.e2e import boxes_iou3d, nms3d
+
+    b = jnp.asarray([
+        [0.0, 0.0, 0.0, 2.0, 2.0, 2.0, 0.0],
+        [0.0, 0.0, 1.0, 2.0, 2.0, 2.0, 0.0],  # half z-overlap
+        [10.0, 0.0, 0.0, 2.0, 2.0, 2.0, 0.3],  # disjoint
+    ])
+    iou = _np(boxes_iou3d(b, b))
+    np.testing.assert_allclose(np.diag(iou), 1.0, atol=1e-5)
+    np.testing.assert_allclose(iou[0, 1], (4 * 1) / (8 + 8 - 4), atol=1e-5)
+    assert iou[0, 2] == 0.0
+    keep = _np(nms3d(b, jnp.asarray([0.9, 0.8, 0.7]), iou_threshold=0.25))
+    np.testing.assert_array_equal(keep, [True, False, True])
