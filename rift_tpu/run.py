@@ -548,6 +548,19 @@ def main(argv=None):
                 print(f"episode {ep}: ego PPO losses {losses[:3]}...")
             if hasattr(ego, "save"):
                 ego.save(ckpt, ep)
+        elif args.mode == "train_ego" and hasattr(ego, "train_bc"):
+            # il-type egos (vad/uniad/sparsedrive): clone the PDM expert
+            # closed-loop (models/e2e/train.py; the reference trains these
+            # stacks offline on logged sensor data)
+            losses = ego.train_bc(spec, state, crit, ticks=args.max_ticks)
+            ep_losses = losses
+            print(
+                f"episode {ep}: {ego.name} BC loss "
+                f"{losses[0]:.4f} -> {losses[-1]:.4f}"
+            )
+            npz = os.path.join(out_dir, "model_ckpt", f"{ego.name}_bc.npz")
+            os.makedirs(os.path.dirname(npz), exist_ok=True)
+            ego.save(npz)
         elif train_cbv_mode and cbv_is_classic_rl:
             state, crit, losses = train_classic_cbv_episode(
                 env, ego, cbv, state, crit, spec, args.max_ticks

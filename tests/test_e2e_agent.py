@@ -157,3 +157,20 @@ def test_densify_waypoints_math():
     np.testing.assert_allclose(float(d[0, 4, 0]), 1.0, atol=1e-6)
     np.testing.assert_allclose(float(d[0, 9, 0]), 2.0, atol=1e-6)
     np.testing.assert_allclose(float(d[0, 29, 0]), 6.0, atol=1e-5)
+
+
+def test_cli_train_ego_bc_e2e(tmp_path):
+    """`--mode train_ego --ego_cfg sparsedrive` BC-bootstraps the E2E ego
+    from the PDM expert and saves loadable npz weights."""
+    import glob
+
+    from rift_tpu.run import main
+
+    main([
+        "--mode", "train_ego", "--ego_cfg", "sparsedrive",
+        "--cbv_cfg", "standard", "--num_scenario", "1", "--num_agents", "6",
+        "--num_episodes", "1", "--max_ticks", "40", "--town", "straight",
+        "--out_dir", str(tmp_path),
+    ])
+    npz = glob.glob(str(tmp_path / "**" / "sparsedrive_bc.npz"), recursive=True)
+    assert npz, "BC weights not saved"
