@@ -207,7 +207,9 @@ def write_results_md(args, merged, eval_dir):
     md = [
         "# Quality-parity experiment — PDM-Lite ego (BASELINE.md Table 1 protocol)",
         "",
-        "Produced end-to-end on one TPU chip by `python tools/quality_experiment.py`:",
+        "Produced end-to-end on one device "
+        f"(`{__import__('jax').default_backend()}` backend) by "
+        "`python tools/quality_experiment.py`:",
         "bootstrap BC-pretrain Pluto against the privileged pose+speed teacher",
         "(stand-in for the unshipped nuPlan `pluto_1M_aux_cil.ckpt`,",
         "rift/cbv/planning/pluto/pluto.py:130-137), closed-loop fine-tune every",
