@@ -32,6 +32,34 @@ BASELINE_ENV_STEPS_PER_S = 15.0
 CHUNK = 20
 
 
+def _require_device(timeout_s: float = 180.0):
+    """Fail fast (with an honest JSON line) instead of hanging forever when
+    the tunneled TPU backend is wedged — jax.devices() then blocks
+    indefinitely and the driver's bench run would never return."""
+    import threading
+
+    got: list = []
+
+    def probe():
+        try:
+            got.append(jax.devices())
+        except Exception as e:  # noqa: BLE001
+            got.append(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not got or isinstance(got[0], Exception):
+        print(json.dumps({
+            "metric": "closed_loop_env_steps_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "env-steps/s — DEVICE UNAVAILABLE (backend init timed "
+                    f"out after {timeout_s:.0f}s; tunnel wedged)",
+            "vs_baseline": 0.0,
+        }))
+        sys.exit(0)
+
+
 def measure(fn, state, crit, chunks, warmup=1, trials=2):
     t0 = time.perf_counter()
     s, c = state, crit
@@ -61,6 +89,7 @@ def main(
     chunks: int = 10,
     train_chunks: int = 5,
 ):
+    _require_device()
     from rift_tpu.map import make_grid_town
     from rift_tpu.rollout import rollout_chunk
     from rift_tpu.runner import Runner, RunnerConfig
