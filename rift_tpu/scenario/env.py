@@ -49,6 +49,7 @@ ROUTE_PAD = 1024  # max route waypoints (1 m spacing -> 1 km routes)
 RIDS_PAD = 64
 BV_SPACING_MIN = 12.0  # min distance between spawned vehicles
 EGO_CLEARANCE = 15.0  # no BV spawned this close to the ego start
+BV_ACTIVATE_RADIUS = 150.0  # lazy-activation radius (route_scenario.py:176)
 TIMEOUT_SEC_PER_M = 1.0  # reference: 1 s per route meter (route_scenario.py:110)
 
 
@@ -166,6 +167,7 @@ def spawn_agents(
     pos = np.zeros((S, A, 2), np.float32)
     heading = np.zeros((S, A), np.float32)
     alive = np.zeros((S, A), bool)
+    pool = np.zeros((S, A), bool)
     agent_class = np.zeros((S, A), np.int32)
     shape = np.broadcast_to(
         np.asarray(DEFAULT_SHAPE, np.float32), (S, A, 2)
@@ -242,7 +244,13 @@ def spawn_agents(
                 continue
             pos[s, k] = p
             heading[s, k] = flat_h[ci]
-            alive[s, k] = True
+            # lazy activation (route_scenario.py:157-186): vehicles beyond
+            # BV_ACTIVATE_RADIUS of the ego start in the inactive pool and
+            # wake in env_step when the ego approaches
+            if np.linalg.norm(p - pos[s, 0]) <= BV_ACTIVATE_RADIUS:
+                alive[s, k] = True
+            else:
+                pool[s, k] = True
             placed.append(p)
             k += 1
 
@@ -257,8 +265,9 @@ def spawn_agents(
     lane = d2.argmin(-1).astype(np.int32)
 
     state = state.replace(pos=pos, heading=heading, alive=alive, lane=lane,
-                          bv_branch_bits=bits, agent_class=agent_class,
-                          shape=shape, speed=speed0, goal=anchor)
+                          bv_pool=pool, bv_branch_bits=bits,
+                          agent_class=agent_class, shape=shape, speed=speed0,
+                          goal=anchor)
     state.hist_pos[:, :, -1] = pos
     state.hist_heading[:, :, -1] = heading
     state.hist_valid[:, :, -1] = alive
@@ -299,6 +308,15 @@ def env_step(
     attn_cbv.py:20-30).
     """
     S, A = state.alive.shape
+
+    # ---- lazy BV activation: pooled background vehicles wake when the
+    # ego comes within BV_ACTIVATE_RADIUS (route_scenario.py:157-186's
+    # set_simulate_physics(True) within 150 m of any ego)
+    d_ego = jnp.linalg.norm(state.pos - state.pos[:, :1], axis=-1)
+    wake = state.bv_pool & (d_ego < BV_ACTIVATE_RADIUS)
+    state = state.replace(
+        alive=state.alive | wake, bv_pool=state.bv_pool & ~wake
+    )
 
     # ---- ego control: rule ego unless a trajectory is provided
     if ego_traj is None:

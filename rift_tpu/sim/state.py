@@ -41,6 +41,10 @@ class SimState:
     # identity & masks
     alive: jnp.ndarray  # [S, A] bool
     is_cbv: jnp.ndarray  # [S, A] bool (slot 0 never CBV)
+    # inactive background-vehicle pool: spawned along the whole route but
+    # physics-off until within BV_ACTIVATE_RADIUS of the ego, then flipped
+    # alive once (reference lazy activation, route_scenario.py:157-186)
+    bv_pool: jnp.ndarray  # [S, A] bool
     shape: jnp.ndarray  # [S, A, 2] width, length
     agent_class: jnp.ndarray  # [S, A] int32 CLASS_VEHICLE/WALKER/STATIC
 
@@ -156,6 +160,7 @@ def init_sim_state_host(
         control=onp.zeros((S, A, 3), onp.float32),
         alive=onp.zeros((S, A), bool),
         is_cbv=onp.zeros((S, A), bool),
+        bv_pool=onp.zeros((S, A), bool),
         shape=onp.broadcast_to(
             onp.asarray(DEFAULT_SHAPE, onp.float32), (S, A, 2)
         ).copy(),

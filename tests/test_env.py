@@ -102,3 +102,37 @@ def test_env_grid_town_episode():
     assert bool(jnp.isfinite(state.pos).all())
     rc = route_completion_percent(crit, state, spec)
     assert float(rc.max()) > 2.0
+
+
+def test_lazy_bv_activation():
+    """BVs beyond BV_ACTIVATE_RADIUS spawn pooled (inactive) and wake as
+    the ego approaches (route_scenario.py:157-186 lazy physics)."""
+    import jax.numpy as jnp
+
+    from rift_tpu.scenario.env import BV_ACTIVATE_RADIUS, TrafficEnv, env_step
+
+    tm = make_straight_town(length=600.0, num_lanes=2)
+    env = TrafficEnv(tm, num_scenarios=1, num_agents=12, seed=7)
+    state, crit, spec = env.reset()
+    pooled0 = int(state.bv_pool.sum())
+    assert pooled0 > 0, "600 m route should leave distant BVs pooled"
+    # pooled agents are inactive and beyond the radius
+    d = np.linalg.norm(
+        np.asarray(state.pos[0]) - np.asarray(state.pos[0, 0]), axis=-1
+    )
+    pool_np = np.asarray(state.bv_pool[0])
+    assert not bool((np.asarray(state.alive[0]) & pool_np).any())
+    assert (d[pool_np] > BV_ACTIVATE_RADIUS).all()
+
+    # teleport the ego next to a pooled BV -> it wakes on the next step
+    tgt = int(np.flatnonzero(pool_np)[0])
+    state2 = state.replace(
+        pos=state.pos.at[0, 0].set(state.pos[0, tgt] + 20.0)
+    )
+    state3, _ = env_step(tm, spec, state2, crit)
+    assert bool(state3.alive[0, tgt])
+    assert not bool(state3.bv_pool[0, tgt])
+    # a woken agent stays awake even if the ego leaves
+    state4 = state3.replace(pos=state3.pos.at[0, 0].set(spec.ego_route[0, 0, :2]))
+    state5, _ = env_step(tm, spec, state4, crit)
+    assert bool(state5.alive[0, tgt])
