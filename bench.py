@@ -95,12 +95,20 @@ def main(
     from rift_tpu.runner import Runner, RunnerConfig
 
     tmap = make_grid_town(blocks=2, num_lanes=2)
+    # frame-invariant token mode (models/pluto/features.py canonical_*):
+    # encoders run once per world agent / map lane instead of per CBV view.
+    # Equality-tested against the gathered per-sample path
+    # (tests/test_canonical_tokens.py); flip off with RIFT_TPU_CANONICAL=0.
+    import os
+
+    canonical = os.environ.get("RIFT_TPU_CANONICAL", "1") != "0"
     cfg = RunnerConfig(
         num_scenarios=num_scenarios,
         num_agents=num_agents,
         max_cbvs=max_cbvs,
         encoder_depth=4,
         decoder_depth=4,
+        canonical=canonical,
     )
     r = Runner(tmap, cfg)
     state, crit, spec = r.init_params()
@@ -110,7 +118,7 @@ def main(
             s, c, _ = rollout_chunk(
                 r.model, r.params, r.tmap, spec, s, c,
                 max_cbvs=max_cbvs, num_steps=CHUNK, train=train,
-                with_policy=with_policy,
+                with_policy=with_policy, canonical=canonical,
             )
             return s, c
         return fn

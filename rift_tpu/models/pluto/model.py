@@ -58,38 +58,61 @@ class AgentEncoder(nn.Module):
     @nn.compact
     def __call__(self, data, deterministic: bool = True):
         T = self.hist_steps
-        position = data["agent"]["position"][:, :, :T]
-        heading = data["agent"]["heading"][:, :, :T]
-        velocity = data["agent"]["velocity"][:, :, :T]
-        shape = data["agent"]["shape"][:, :, :T]
         category = data["agent"]["category"].astype(jnp.int32)
         valid_mask = data["agent"]["valid_mask"][:, :, :T]
-
-        vec_mask = valid_mask[..., :-1] & valid_mask[..., 1:]
-
-        def to_vec(feat):
-            d = feat[:, :, 1:] - feat[:, :, :-1]
-            m = vec_mask
-            while m.ndim < d.ndim:
-                m = m[..., None]
-            return jnp.where(m, d, 0.0)
-
-        heading_vec = to_vec(heading)
-        feat = jnp.concatenate(
-            [
-                to_vec(position),
-                to_vec(velocity),
-                jnp.stack([jnp.cos(heading_vec), jnp.sin(heading_vec)], axis=-1),
-                shape[:, :, 1:],
-                vec_mask[..., None].astype(jnp.float32),
-            ],
-            axis=-1,
-        )  # [B, A, T-1, 9]
-        B, A, Tm1, C = feat.shape
-        x = HistoryEncoder(
+        hist_enc = HistoryEncoder(
             embed_dim=self.dim // 4, drop_path_rate=self.drop_path,
             dtype=self.dtype,
-        )(feat.reshape(B * A, Tm1, C), deterministic).reshape(B, A, self.dim)
+        )
+
+        if "shared" in data and "hist_feat" in data["shared"]:
+            # canonical mode, deduplicated path: encode each WORLD agent's
+            # own-frame history once, gather tokens per CBV slot
+            hf = data["shared"]["hist_feat"]  # [S, A_w, T-1, 9]
+            S, A_w, Tm1, C = hf.shape
+            tok = hist_enc(hf.reshape(S * A_w, Tm1, C), deterministic)
+            tok = tok.reshape(S, A_w, self.dim)
+            scen = data["shared"]["scen_idx"]  # [B]
+            x = tok[scen[:, None], data["agent"]["order"]]  # [B, A, D]
+        elif "hist_feat" in data["agent"]:
+            # canonical mode, per-sample path (buffered fit samples)
+            feat = data["agent"]["hist_feat"]  # [B, A, T-1, 9]
+            B, A, Tm1, C = feat.shape
+            x = hist_enc(
+                feat.reshape(B * A, Tm1, C), deterministic
+            ).reshape(B, A, self.dim)
+        else:
+            position = data["agent"]["position"][:, :, :T]
+            heading = data["agent"]["heading"][:, :, :T]
+            velocity = data["agent"]["velocity"][:, :, :T]
+            shape = data["agent"]["shape"][:, :, :T]
+
+            vec_mask = valid_mask[..., :-1] & valid_mask[..., 1:]
+
+            def to_vec(feat):
+                d = feat[:, :, 1:] - feat[:, :, :-1]
+                m = vec_mask
+                while m.ndim < d.ndim:
+                    m = m[..., None]
+                return jnp.where(m, d, 0.0)
+
+            heading_vec = to_vec(heading)
+            feat = jnp.concatenate(
+                [
+                    to_vec(position),
+                    to_vec(velocity),
+                    jnp.stack(
+                        [jnp.cos(heading_vec), jnp.sin(heading_vec)], axis=-1
+                    ),
+                    shape[:, :, 1:],
+                    vec_mask[..., None].astype(jnp.float32),
+                ],
+                axis=-1,
+            )  # [B, A, T-1, 9]
+            B, A, Tm1, C = feat.shape
+            x = hist_enc(
+                feat.reshape(B * A, Tm1, C), deterministic
+            ).reshape(B, A, self.dim)
         x = jnp.where(valid_mask.any(-1)[..., None], x, 0.0)
 
         # ego token from current state channels (use_ego_history=False path)
@@ -114,45 +137,69 @@ class MapEncoder(nn.Module):
     def __call__(self, data):
         m = data["map"]
         center = m["polygon_center"]  # [B, M, 3]
-        pt_pos = m["point_position"]  # [B, M, 3, P, 2]
-        pt_vec = m["point_vector"]
-        pt_ori = m["point_orientation"]
-        valid = m["valid_mask"]  # [B, M, P]
-
-        feat = jnp.concatenate(
-            [
-                pt_pos[:, :, 0] - center[..., None, :2],
-                pt_vec[:, :, 0],
-                jnp.stack(
-                    [jnp.cos(pt_ori[:, :, 0]), jnp.sin(pt_ori[:, :, 0])], axis=-1
-                ),
-                pt_pos[:, :, 1] - pt_pos[:, :, 0],
-                pt_pos[:, :, 2] - pt_pos[:, :, 0],
-            ],
-            axis=-1,
-        )  # [B, M, P, 10]
-        x = PointsEncoder(self.dim, dtype=self.dtype, norm=self.points_norm)(
-            feat, valid
-        )
-
-        x = x + nn.Embed(3, self.dim, name="type_emb", dtype=self.dtype)(
-            m["polygon_type"].astype(jnp.int32)
-        )
-        x = x + nn.Embed(2, self.dim, name="on_route_emb", dtype=self.dtype)(
-            m["polygon_on_route"].astype(jnp.int32)
-        )
-        x = x + nn.Embed(4, self.dim, name="tl_emb", dtype=self.dtype)(
-            m["polygon_tl_status"].astype(jnp.int32)
-        )
-        speed_emb = FourierEmbedding(self.dim, 64, name="speed_emb", dtype=self.dtype)(
-            m["polygon_speed_limit"][..., None]
+        pe = PointsEncoder(self.dim, dtype=self.dtype, norm=self.points_norm)
+        type_emb = nn.Embed(3, self.dim, name="type_emb", dtype=self.dtype)
+        speed_emb_mod = FourierEmbedding(
+            self.dim, 64, name="speed_emb", dtype=self.dtype
         )
         unknown = self.param(
             "unknown_speed_emb", nn.initializers.normal(0.02), (self.dim,)
         )
-        has = m["polygon_has_speed_limit"][..., None]
-        x = x + jnp.where(has, speed_emb, unknown)
-        return x
+
+        on_route_e = nn.Embed(2, self.dim, name="on_route_emb", dtype=self.dtype)(
+            m["polygon_on_route"].astype(jnp.int32)
+        )
+        tl_e = nn.Embed(4, self.dim, name="tl_emb", dtype=self.dtype)(
+            m["polygon_tl_status"].astype(jnp.int32)
+        )
+
+        if "shared" in data and "map_feat" in data["shared"]:
+            # canonical mode, deduplicated path: one frame-invariant token
+            # per map lane, gathered per CBV polygon slot
+            sh = data["shared"]
+            mf = sh["map_feat"]  # [L, P, 10]
+            L, P, _ = mf.shape
+            tok = pe(mf[None], jnp.ones((1, L, P), bool))[0]  # [L, D]
+            tok = tok + type_emb(sh["map_type"].astype(jnp.int32))
+            tok = tok + speed_emb_mod(sh["map_speed"][..., None])
+            x = tok[m["lane_idx"]]  # [B, M, D]
+            return x + on_route_e + tl_e
+        if "canonical_feat" in m:
+            # canonical mode, per-sample path (buffered fit samples)
+            feat = m["canonical_feat"]  # [B, M, P, 10]
+            x = pe(feat, jnp.ones(feat.shape[:-1], bool))
+            x = x + type_emb(m["polygon_type"].astype(jnp.int32))
+            x = x + speed_emb_mod(m["polygon_speed_limit"][..., None])
+            return x + on_route_e + tl_e
+        if True:
+            pt_pos = m["point_position"]  # [B, M, 3, P, 2]
+            pt_vec = m["point_vector"]
+            pt_ori = m["point_orientation"]
+            valid = m["valid_mask"]  # [B, M, P]
+
+            feat = jnp.concatenate(
+                [
+                    pt_pos[:, :, 0] - center[..., None, :2],
+                    pt_vec[:, :, 0],
+                    jnp.stack(
+                        [jnp.cos(pt_ori[:, :, 0]), jnp.sin(pt_ori[:, :, 0])],
+                        axis=-1,
+                    ),
+                    pt_pos[:, :, 1] - pt_pos[:, :, 0],
+                    pt_pos[:, :, 2] - pt_pos[:, :, 0],
+                ],
+                axis=-1,
+            )  # [B, M, P, 10]
+            # legacy (reference-convention) path — add order preserved for
+            # converted-checkpoint parity
+            x = pe(feat, valid)
+            x = x + type_emb(m["polygon_type"].astype(jnp.int32))
+            x = x + on_route_e
+            x = x + tl_e
+            speed_emb = speed_emb_mod(m["polygon_speed_limit"][..., None])
+            has = m["polygon_has_speed_limit"][..., None]
+            x = x + jnp.where(has, speed_emb, unknown)
+            return x
 
 
 class StaticObjectsEncoder(nn.Module):
@@ -370,8 +417,14 @@ class PlutoModel(nn.Module):
 
     @nn.compact
     def __call__(self, data: Dict[str, Any], deterministic: bool = True):
-        agent_pos = data["agent"]["position"][:, :, self.history_steps - 1]
-        agent_heading = data["agent"]["heading"][:, :, self.history_steps - 1]
+        if "cur_pos" in data["agent"]:  # canonical mode
+            agent_pos = data["agent"]["cur_pos"]
+            agent_heading = data["agent"]["cur_heading"]
+        else:
+            agent_pos = data["agent"]["position"][:, :, self.history_steps - 1]
+            agent_heading = data["agent"]["heading"][
+                :, :, self.history_steps - 1
+            ]
         agent_mask = data["agent"]["valid_mask"][:, :, : self.history_steps]
         polygon_center = data["map"]["polygon_center"]
         polygon_mask = data["map"]["valid_mask"]

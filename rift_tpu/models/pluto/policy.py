@@ -86,7 +86,9 @@ def _neighbor_states(state: SimState, scenario, slot, n_nbr: int):
     )
 
 
-@partial(jax.jit, static_argnames=("model", "max_cbvs", "train", "topk"))
+@partial(
+    jax.jit, static_argnames=("model", "max_cbvs", "train", "topk", "canonical")
+)
 def pluto_cbv_act(
     model: Any,
     params: Any,
@@ -96,6 +98,7 @@ def pluto_cbv_act(
     max_cbvs: int = 3,
     train: bool = False,
     topk: int = TOPK,
+    canonical: bool = False,
 ):
     """Plan all CBVs of all scenarios.
 
@@ -111,9 +114,24 @@ def pluto_cbv_act(
     cbv_slots = cbv_slot_assignment(state.is_cbv, max_cbvs)  # [S, C]
     C = cbv_slots.shape[1]
 
-    feats, slot_valid = build_cbv_features(tmap, state, cbv_slots, spec)
+    if canonical:
+        # frame-invariant token mode: encoders run once per world
+        # agent / map lane; the per-CBV forward gathers tokens
+        feats, slot_valid, shared = build_cbv_features(
+            tmap, state, cbv_slots, spec,
+            canonical=True, with_sample_feats=train,
+        )
+    else:
+        feats, slot_valid = build_cbv_features(tmap, state, cbv_slots, spec)
     flat_feats = jax.tree.map(lambda x: x.reshape((S * C,) + x.shape[2:]), feats)
-    out = model.apply(params, flat_feats)
+    if canonical:
+        model_in = dict(flat_feats)
+        model_in["shared"] = {
+            **shared, "scen_idx": jnp.repeat(jnp.arange(S), C)
+        }
+        out = model.apply(params, model_in)
+    else:
+        out = model.apply(params, flat_feats)
 
     traj3, chosen_idx, _ = select_trajectory(out, topk)
     wp = traj3[..., :2]  # [S*C, T, 2] local-frame waypoints

@@ -74,6 +74,12 @@ class PlutoPolicy:
         cfg = cfg or {}
         self.tmap = tmap
         self.max_cbvs = cfg.get("max_cbvs", 3)
+        # frame-invariant token mode (QCNet-style): encoders run once per
+        # world agent / map lane instead of once per CBV view. Same param
+        # tree as the reference convention — npz checkpoints interoperate —
+        # but tokens are trained in a different input convention, so flip it
+        # per-config, not mid-experiment.
+        self.canonical = bool(cfg.get("canonical_tokens", False))
         self.model = PlutoModel(
             encoder_depth=cfg.get("encoder_depth", encoder_depth),
             decoder_depth=cfg.get("decoder_depth", decoder_depth),
@@ -85,8 +91,19 @@ class PlutoPolicy:
         if self.params is not None:
             return
         slots = cbv_slot_assignment(state.is_cbv, self.max_cbvs)
-        feats, _ = build_cbv_features(self.tmap, state, slots, spec)
+        if self.canonical:
+            feats, _, shared = build_cbv_features(
+                self.tmap, state, slots, spec, canonical=True
+            )
+        else:
+            feats, _ = build_cbv_features(self.tmap, state, slots, spec)
         flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), feats)
+        if self.canonical:
+            S, C = slots.shape
+            flat = dict(flat)
+            flat["shared"] = {
+                **shared, "scen_idx": jax.numpy.repeat(jax.numpy.arange(S), C)
+            }
         self.rng, k = jax.random.split(self.rng)
         from .utils.cache import init_params_on_cpu
 
@@ -97,6 +114,7 @@ class PlutoPolicy:
         return pluto_cbv_act(
             self.model, self.params, self.tmap, spec, state,
             max_cbvs=self.max_cbvs, train=train and self.trainable,
+            canonical=self.canonical,
         )
 
     def train_round(self, *a, **k):

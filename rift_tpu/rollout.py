@@ -139,7 +139,7 @@ def flush_pending(store_fn, pending: list):
     jax.jit,
     static_argnames=(
         "model", "max_cbvs", "num_steps", "train", "with_policy",
-        "ego", "ego_model", "recog_model",
+        "ego", "ego_model", "recog_model", "canonical",
     ),
 )
 def rollout_chunk(
@@ -158,6 +158,7 @@ def rollout_chunk(
     ego_params=None,  # its params (traced)
     recog_model=None,  # PlanT scorer -> attention recognition (env_step)
     recog_params=None,
+    canonical: bool = False,  # frame-invariant token mode (policy.canonical)
 ):
     """Advance all scenarios `num_steps` ticks.
 
@@ -197,7 +198,8 @@ def rollout_chunk(
         ego_traj = ego_traj_for(state)
         if with_policy:
             res = pluto_cbv_act(
-                model, params, tmap, spec, state, max_cbvs=max_cbvs, train=train
+                model, params, tmap, spec, state, max_cbvs=max_cbvs,
+                train=train, canonical=canonical,
             )
             new_state, new_crit = env_step(
                 tmap, spec, state, crit,

@@ -129,6 +129,7 @@ def run_episode_fused(
             train=train_extras, with_policy=with_policy,
             ego=ego_kind, ego_model=ego_model, ego_params=ego_params,
             recog_model=env.recog_model, recog_params=env.recog_params,
+            canonical=getattr(cbv, "canonical", False),
         )
         if store is not None and extras is not None:
             store(extras)

@@ -46,6 +46,9 @@ class RunnerConfig:
     # data-parallel over the scenario axis on every visible device (SPMD:
     # params replicated, rollout + train batches sharded, grad psum by XLA)
     shard: bool = True
+    # frame-invariant token mode (see models/pluto/features.py): encoders
+    # run once per world agent / map lane instead of once per CBV view
+    canonical: bool = False
 
 
 class Runner:
@@ -90,8 +93,17 @@ class Runner:
     def init_params(self):
         state, crit, spec = self.env.reset()
         slots = cbv_slot_assignment(state.is_cbv, self.cfg.max_cbvs)
-        feats, _ = build_cbv_features(self.tmap, state, slots, spec)
+        if self.cfg.canonical:
+            feats, _, shared = build_cbv_features(
+                self.tmap, state, slots, spec, canonical=True
+            )
+        else:
+            feats, _ = build_cbv_features(self.tmap, state, slots, spec)
         flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), feats)
+        if self.cfg.canonical:
+            S, C = slots.shape
+            flat = dict(flat)
+            flat["shared"] = {**shared, "scen_idx": jnp.repeat(jnp.arange(S), C)}
         self.rng, k = jax.random.split(self.rng)
         # init on CPU: flax init is a huge one-shot graph; compiling it on
         # the TPU costs minutes (see utils/cache.py)
@@ -137,6 +149,7 @@ class Runner:
                 res = pluto_cbv_act(
                     self.model, self.params, self.tmap, spec, state,
                     max_cbvs=self.cfg.max_cbvs, train=train,
+                    canonical=self.cfg.canonical,
                 )
                 collect(state, res)
                 state, crit = self.env.step(
@@ -158,6 +171,7 @@ class Runner:
                 state, crit, extras = rollout_chunk(
                     self.model, self.params, self.tmap, spec, state, crit,
                     max_cbvs=self.cfg.max_cbvs, num_steps=chunk, train=train,
+                    canonical=self.cfg.canonical,
                 )
                 if train and extras is not None:
                     self._store_chunk(extras)
