@@ -31,8 +31,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BB = 256  # rows per block: ~[256, 21, 256] f32 intermediates ~= 5.5 MB VMEM
 NEG = -1e9
+
+
+def _block_rows(P: int) -> int:
+    """Rows per grid block. The kernel's live set is ~2 [BB, P, 256] f32
+    buffers (matmul in + out), which must fit the 16 MB VMEM scoped limit
+    with headroom: BB * P <= 5856 keeps that under ~12 MB. A fixed BB=256
+    OOMed the Mosaic stack allocator on the P=120 reference-line rows
+    (63.6 MB scoped) while being fine on the P~21 map rows."""
+    return max(8, min(256, (5856 // max(P, 1)) // 8 * 8))
 
 
 def _ln(x, scale, bias, eps=1e-5):
@@ -102,6 +110,7 @@ def points_encoder_pallas(
     ]
     w3a, w3b = w3[:256], w3[256:]  # concat split: [256,256] + [256,256]
 
+    BB = _block_rows(P)
     Np = _round_up(max(N, 1), BB)
     xp = jnp.pad(x.astype(jnp.float32), ((0, Np - N), (0, 0), (0, 0)))
     mp = jnp.pad(mask.astype(jnp.float32), ((0, Np - N), (0, 0)))
