@@ -35,12 +35,13 @@ NEG = -1e9
 
 
 def _block_rows(P: int) -> int:
-    """Rows per grid block. The kernel's live set is ~2 [BB, P, 256] f32
-    buffers (matmul in + out), which must fit the 16 MB VMEM scoped limit
-    with headroom: BB * P <= 5856 keeps that under ~12 MB. A fixed BB=256
-    OOMed the Mosaic stack allocator on the P=120 reference-line rows
-    (63.6 MB scoped) while being fine on the P~21 map rows."""
-    return max(8, min(256, (5856 // max(P, 1)) // 8 * 8))
+    """Rows per grid block, sized for the 16 MB VMEM scoped limit.
+
+    Measured live sets vary with how Mosaic schedules the pipeline: the
+    P=120 refline rows at BB=256 allocated ~2x [BB, P, 256] f32 (63.6 MB),
+    the P=20 fit-path rows at BB=256 ~3.8x (19.7 MB). Budget for 4 live
+    buffers under ~12 MB: 4 * BB * P * 256 * 4B <= 12 MB -> BB*P <= 2928."""
+    return max(8, min(256, (2928 // max(P, 1)) // 8 * 8))
 
 
 def _ln(x, scale, bias, eps=1e-5):
