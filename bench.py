@@ -153,7 +153,37 @@ def main(
     )
 
 
+def _run_filtered() -> int:
+    """Re-exec as a child and drop the known-spurious XLA cpu_aot_loader
+    warnings from stderr. XLA adds LLVM tuning preferences
+    (+prefer-no-scatter/+prefer-no-gather) to the compile-machine feature
+    list but probes only raw CPUID flags at load time, so every cache
+    reload "mismatches" and threatens SIGILL that cannot happen — the
+    actual ISA features all match. Everything else passes through."""
+    import os
+    import re
+    import subprocess
+
+    env = dict(os.environ, RIFT_TPU_BENCH_CHILD="1")
+    proc = subprocess.Popen(
+        [sys.executable, __file__, *sys.argv[1:]],
+        stderr=subprocess.PIPE, text=True, env=env,
+    )
+    spurious = re.compile(
+        r"cpu_aot_loader|Machine type used for XLA:CPU compilation"
+    )
+    assert proc.stderr is not None
+    for line in proc.stderr:
+        if not spurious.search(line):
+            sys.stderr.write(line)
+    return proc.wait()
+
+
 if __name__ == "__main__":
+    import os
+
+    if os.environ.get("RIFT_TPU_BENCH_CHILD") != "1":
+        sys.exit(_run_filtered())
     kw = {}
     for a in sys.argv[1:]:
         k, v = a.split("=")

@@ -131,9 +131,12 @@ def render_cameras(tmap, spec, state) -> jnp.ndarray:
     S, A = state.alive.shape
 
     def one(pos_a, heading_a, shape_a, alive_a, cls_a, route, route_len,
-            cursor, red):
+            cursor, red, vis):
         ego_pos, ego_heading = pos_a[0], heading_a[0]
         pts, hit, t = _ground_points(ego_pos, ego_heading)
+        # weather: fog/rain shorten the usable sensing range (the UE4 rig
+        # physically sees less; Weather.visibility in scenario/routes.py)
+        hit = hit & (t <= MAX_RANGE * vis)
 
         drivable = tmap.on_road_raster(pts.reshape(-1, 2)).reshape(pts.shape[:-1])
 
@@ -170,10 +173,15 @@ def render_cameras(tmap, spec, state) -> jnp.ndarray:
 
     red, _ = red_ahead(tmap, state.lane[:, :1], state.pos[:, :1], state.tick)
     red = red[:, 0]
+    vis = (
+        spec.visibility
+        if spec.visibility is not None
+        else jnp.ones(S, jnp.float32)
+    )
     return jax.vmap(one)(
         state.pos, state.heading, state.shape, state.alive,
         state.agent_class, spec.ego_route, spec.ego_route_len,
-        state.ego_route_cursor, red,
+        state.ego_route_cursor, red, vis,
     )
 
 

@@ -34,14 +34,30 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e9
 
 
-def _block_rows(P: int) -> int:
-    """Rows per grid block, sized for the 16 MB VMEM scoped limit.
+# Rows per pallas_call. XLA's memory-space-assignment pass may scope the
+# custom call's *whole output* in VMEM when a fused consumer follows (seen
+# live: the fit path at N=16384 put the f32[16384,128] output on the VMEM
+# stack -> 8.4 MB on top of the kernel's own live set -> 19.7 MB > 16 MB
+# scoped limit). Chunking the call through lax.map bounds any such scoped
+# output to CHUNK*out_dim*4 bytes (2 MB at out_dim=128); the grid inside a
+# pallas_call is sequential on TPU anyway, so the chunk loop adds nothing.
+_CHUNK_ROWS = 4096
+# BB*P budget for the kernel's internal live set. Mosaic schedules ~4 live
+# [BB, P, 256] f32 buffers; 4 * BB * P * 256 * 4B <= ~6 MB -> BB*P <= 1440,
+# leaving headroom for a scoped output chunk + weights within the 16 MB.
+_BB_P_BUDGET = 1440
 
-    Measured live sets vary with how Mosaic schedules the pipeline: the
-    P=120 refline rows at BB=256 allocated ~2x [BB, P, 256] f32 (63.6 MB),
-    the P=20 fit-path rows at BB=256 ~3.8x (19.7 MB). Budget for 4 live
-    buffers under ~12 MB: 4 * BB * P * 256 * 4B <= 12 MB -> BB*P <= 2928."""
-    return max(8, min(256, (2928 // max(P, 1)) // 8 * 8))
+
+def _block_rows(P: int) -> int:
+    """Rows per grid block, sized for the 16 MB VMEM scoped limit."""
+    return max(8, min(256, (_BB_P_BUDGET // max(P, 1)) // 8 * 8))
+
+
+def fits_vmem(P: int) -> bool:
+    """False when even BB=8 rows of P points exceed the VMEM budget —
+    callers must use points_forward_xla (ADVICE r2: fail loudly, don't
+    let Mosaic OOM on a future large-P call site)."""
+    return 8 * P <= _BB_P_BUDGET
 
 
 def _ln(x, scale, bias, eps=1e-5):
@@ -106,10 +122,32 @@ def points_encoder_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     N, P, C = x.shape
+    if not fits_vmem(P):
+        raise ValueError(
+            f"points_encoder_pallas: P={P} exceeds the VMEM block budget "
+            f"({_BB_P_BUDGET // 8}); use points_forward_xla"
+        )
     w1, b1, ln1s, ln1b, w2, b2, w3, b3, ln2s, ln2b, w4, b4 = [
         w.astype(jnp.float32) for w in weights
     ]
     w3a, w3b = w3[:256], w3[256:]  # concat split: [256,256] + [256,256]
+
+    if N > _CHUNK_ROWS:
+        Nc = _round_up(N, _CHUNK_ROWS)
+        xc = jnp.pad(x, ((0, Nc - N), (0, 0), (0, 0))).reshape(
+            Nc // _CHUNK_ROWS, _CHUNK_ROWS, P, C
+        )
+        mc = jnp.pad(mask, ((0, Nc - N), (0, 0))).reshape(
+            Nc // _CHUNK_ROWS, _CHUNK_ROWS, P
+        )
+        out = jax.lax.map(
+            lambda xm: points_encoder_pallas(
+                xm[0], xm[1], weights, out_dim,
+                has_ln=has_ln, interpret=interpret,
+            ),
+            (xc, mc),
+        )
+        return out.reshape(Nc, out_dim)[:N]
 
     BB = _block_rows(P)
     Np = _round_up(max(N, 1), BB)
@@ -198,6 +236,6 @@ _points_encoder_tpu.defvjp(_points_fwd, _points_bwd)
 def points_encoder(x, mask, weights, out_dim, has_ln=True):
     """[N, P, C] masked-PointNet -> [N, out_dim] f32. Differentiable on
     every backend; fused on TPU."""
-    if jax.default_backend() in ("tpu", "axon"):
+    if jax.default_backend() in ("tpu", "axon") and fits_vmem(x.shape[-2]):
         return _points_encoder_tpu(x, mask, weights, out_dim, has_ln)
     return points_forward_xla(x, mask, weights, has_ln)

@@ -116,6 +116,16 @@ def fit(
     Returns (new_params, mean losses per epoch list).
     """
     size = int(buf.size)
+    if size == 0:
+        # loud invariant (VERDICT r2 weak#2): an empty buffer means the
+        # rollout produced zero valid CBV samples — training would silently
+        # fit on garbage/zero gradients
+        raise ValueError(
+            "fit() called with an empty rollout buffer — the episode "
+            "produced no valid CBV samples (check recognition/advantage "
+            "validity and that spawned agents are awake, scenario/env.py "
+            "lazy BV pool)"
+        )
     steps_per_epoch = max(size // cfg.batch_size, 1)
     tx = make_optimizer(params, cfg, steps_per_epoch, round_idx)
     opt_state = tx.init(params)

@@ -11,6 +11,7 @@ from .env import (
     make_scenario_spec,
     sample_route,
     spawn_agents,
+    wake_all_bvs,
 )
 from .recognition import (
     cbv_slot_assignment,
@@ -28,6 +29,7 @@ __all__ = [
     "make_scenario_spec",
     "sample_route",
     "spawn_agents",
+    "wake_all_bvs",
     "recognize_cbvs",
     "cbv_slot_assignment",
 ]

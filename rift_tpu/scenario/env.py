@@ -277,6 +277,20 @@ def spawn_agents(
 # ---------------------------------------------------------------------------
 # Step (device)
 # ---------------------------------------------------------------------------
+def wake_all_bvs(state):
+    """Activate every pooled background vehicle immediately.
+
+    Test/fixture helper: the lazy BV pool (route_scenario.py:157-186
+    semantics) leaves far-from-ego vehicles alive=False at spawn, which
+    breaks fixtures that force `is_cbv` on a specific slot at tick 0."""
+    import jax.numpy as jnp
+
+    return state.replace(
+        alive=state.alive | state.bv_pool,
+        bv_pool=jnp.zeros_like(state.bv_pool),
+    )
+
+
 @partial(jax.jit, static_argnames=("max_cbvs", "dt", "recog_model"))
 def env_step(
     tmap: TensorMap,

@@ -66,6 +66,19 @@ class Weather:
                 }
         return dict(frames[0][1] if pct <= frames[0][0] else frames[-1][1])
 
+    def visibility(self, pct: float = 0.0) -> float:
+        """Sensor visibility factor in [0.2, 1.0] from fog/rain.
+
+        The reference's UE4 cameras physically see less through
+        fog_density / precipitation (e2e_agent sensor rig under leaderboard
+        weather); the semantic camera bridge applies this as a range cut
+        (ego/sensors.py render_cameras clips ground hits to
+        MAX_RANGE * visibility)."""
+        w = self.at(pct)
+        fog = w.get("fog_density", 0.0) / 100.0
+        rain = w.get("precipitation", 0.0) / 100.0
+        return float(np.clip(1.0 - 0.85 * fog - 0.3 * rain, 0.2, 1.0))
+
 
 @dataclass
 class RouteConfig:

@@ -115,6 +115,9 @@ class ScenarioSpec:
     # the join — replaces the reference's per-candidate A* in recognition
     lane_route_dist: jnp.ndarray | None = None  # [S, L] float32 (inf -> 1e9)
     lane_route_join: jnp.ndarray | None = None  # [S, L] float32
+    # per-scenario sensor visibility factor from route weather (fog/rain),
+    # consumed by ego/sensors.py render_cameras; None -> clear weather
+    visibility: jnp.ndarray | None = None  # [S] float32 in [0.2, 1]
 
 
 def init_sim_state(

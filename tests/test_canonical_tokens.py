@@ -41,6 +41,9 @@ def world():
     for _ in range(4):  # populate history
         state, crit = env.step(state, crit)
     # force CBVs: recognition has a 25-tick warmup this fixture skips
+    from rift_tpu.scenario import wake_all_bvs
+
+    state = wake_all_bvs(state)
     state = state.replace(
         is_cbv=state.is_cbv.at[:, 1].set(state.alive[:, 1]),
         goal=state.goal.at[:, 1].set(

@@ -94,6 +94,9 @@ def test_sharded_train_step_matches_unsharded():
     # params are identical (same seed); build one deterministic batch
     from rift_tpu.models.pluto.policy import pluto_cbv_act
 
+    from rift_tpu.scenario import wake_all_bvs
+
+    s1 = wake_all_bvs(s1)
     st = s1.replace(
         is_cbv=s1.is_cbv.at[:, 1].set(s1.alive[:, 1]),
         goal=s1.goal.at[:, 1].set(s1.pos[:, 1] + 40.0),

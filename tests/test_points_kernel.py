@@ -82,3 +82,43 @@ def test_module_4d_batch_and_norm_none():
     assert set(params["params"]["flat"].keys()) == {
         "Dense_0", "Dense_1", "Dense_2", "Dense_3"
     }
+
+
+def test_chunked_path_matches_xla_reference(monkeypatch):
+    """N > _CHUNK_ROWS routes through lax.map over row chunks (the fix for
+    the live fit-path VMEM OOM: XLA scoped the whole f32[16384,128] output
+    on the VMEM stack). Shrink the chunk size so CPU-interpret covers it."""
+    import rift_tpu.ops.points as pts
+
+    monkeypatch.setattr(pts, "_CHUNK_ROWS", 64)
+    N, P, C, out = 150, 20, 10, 128  # 3 chunks, last one padded
+    r = np.random.default_rng(7)
+    x = jnp.asarray(r.normal(0, 1.5, (N, P, C)), jnp.float32)
+    mask = jnp.asarray(r.random((N, P)) < 0.7)
+    w = _weights(2, C, out)
+
+    ref = points_forward_xla(x, mask, w, True)
+    ker = pts.points_encoder_pallas.__wrapped__(
+        x, mask, w, out, has_ln=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(ker), np.asarray(ref), atol=2e-4)
+
+
+def test_oversized_p_raises_and_dispatch_falls_back():
+    """ADVICE r2: a P beyond the VMEM block budget must fail loudly in the
+    kernel and silently take the XLA path in the dispatcher."""
+    from rift_tpu.ops.points import fits_vmem, points_encoder
+
+    P = 2048
+    assert not fits_vmem(P)
+    N, C, out = 4, 10, 128
+    r = np.random.default_rng(9)
+    x = jnp.asarray(r.normal(0, 1.0, (N, P, C)), jnp.float32)
+    mask = jnp.asarray(r.random((N, P)) < 0.7)
+    w = _weights(3, C, out)
+    with pytest.raises(ValueError, match="VMEM block budget"):
+        points_encoder_pallas(x, mask, w, out, interpret=True)
+    # dispatcher: CPU backend + oversized P both route to XLA
+    got = points_encoder(x, mask, w, out)
+    ref = points_forward_xla(x, mask, w, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)

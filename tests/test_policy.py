@@ -71,6 +71,9 @@ def test_pluto_cbv_act_train_mode_advantage():
     tm, env, state, crit, spec = _env_with_cbv()
     # ensure at least one CBV exists for a meaningful check
     if not bool(state.is_cbv.any()):
+        from rift_tpu.scenario import wake_all_bvs
+
+        state = wake_all_bvs(state)
         state = state.replace(
             is_cbv=state.is_cbv.at[:, 2].set(state.alive[:, 2]),
             goal=state.goal.at[:, 2].set(state.pos[:, 2] + 50.0),

@@ -219,6 +219,9 @@ def test_bc_pretrain_policy_and_params_roundtrip(tmp_path):
     pol = CBV_POLICY_LIST["bc_pluto"](tm, cfg)
     assert pol.train_cfg.trainable_prefixes == ()
     state, crit, spec = env.reset()
+    from rift_tpu.scenario import wake_all_bvs
+
+    state = wake_all_bvs(state)
     state = state.replace(
         is_cbv=state.is_cbv.at[:, 1].set(state.alive[:, 1]),
         goal=state.goal.at[:, 1].set(state.pos[:, 1] + jnp.array([80.0, 0.0])),

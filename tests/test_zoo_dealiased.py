@@ -35,7 +35,11 @@ def rollout_batch():
            "train": TrainConfig(epochs=1, warmup_epochs=1, batch_size=8)}
     pol = CBV_POLICY_LIST["rift_pluto"](tm, cfg)
     state, crit, spec = env.reset()
-    # force CBVs so samples exist from tick 0
+    # force CBVs so samples exist from tick 0 (wake the lazy BV pool first:
+    # slot 1 may spawn beyond BV_ACTIVATE_RADIUS and be alive=False)
+    from rift_tpu.scenario import wake_all_bvs
+
+    state = wake_all_bvs(state)
     state = state.replace(
         is_cbv=state.is_cbv.at[:, 1].set(state.alive[:, 1]),
         goal=state.goal.at[:, 1].set(state.pos[:, 1] + jnp.array([80.0, 0.0])),
