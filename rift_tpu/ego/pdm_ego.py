@@ -38,6 +38,10 @@ IDM_T_VEHICLE = 0.25
 FORECAST_STEPS = 40  # 4 s at 10 fps (reference uses up to 80)
 ROUTE_LOOKAHEAD = 40  # route meters swept for hazards
 SAFETY_WIDTH_INFLATION = 1.2
+# stuck-recovery creep (autopilot.py:1053-1205)
+STUCK_WINDOW = 15  # history ticks of near-zero displacement = stuck
+CREEP_SPEED = 1.5  # m/s un-wedging speed
+CREEP_MIN_GAP = 5.5  # never creep toward a hazard closer than this
 
 
 def _idm_target_speed(
@@ -153,6 +157,25 @@ def pdm_ego_waypoints(
         desired, state.speed[:, 0], hazard_speed, hazard_dist, hazard_len
     )
     v_target = jnp.where(any_hit, jnp.minimum(v_idm, desired), desired)
+
+    # stuck-recovery creep (reference autopilot.py:1053-1205): an ego that
+    # has barely moved for STUCK_WINDOW ticks with no imminent hazard creeps
+    # forward to un-wedge from over-conservative forecasts (deadlocks with
+    # a stopped CBV otherwise end as EBR). Derived from the history ring —
+    # red-light/stop-sign overrides below still force 0 at controlled stops.
+    disp = jnp.linalg.norm(
+        state.hist_pos[:, 0, -1] - state.hist_pos[:, 0, -STUCK_WINDOW],
+        axis=-1,
+    )
+    stuck = (
+        (disp < 0.2)
+        & state.hist_valid[:, 0, -STUCK_WINDOW]
+        & (state.speed[:, 0] < 0.5)
+    )
+    safe_gap = ~any_hit | (hazard_dist > CREEP_MIN_GAP)
+    v_target = jnp.where(
+        stuck & safe_gap, jnp.maximum(v_target, CREEP_SPEED), v_target
+    )
 
     # red-light stop (pdm_lite autopilot.py:1053-1205 equivalent)
     if tmap is not None:

@@ -200,7 +200,18 @@ def spawn_agents(
                 [np.cos(perp), np.sin(perp)], np.float32
             )
             heading[s, slot] = perp + (np.pi if lat > 0 else 0.0)
-            speed0[s, slot] = float(rng.uniform(0.8, 1.6))
+            # intrinsic walking speed derives from the spawn bits — the
+            # SAME formula sim/world.py's patrol uses, so the dwell phases
+            # (speed 0) never lose it; the upper bits hold a small patrol
+            # phase offset so every walker starts outbound (staggered
+            # within 10 s — CARLA's DynamicObjectCrossing triggers when
+            # the ego approaches)
+            bits[s, slot] = (int(bits[s, slot]) & 0xFFFF) | (
+                int(rng.integers(0, 100)) << 16
+            )
+            speed0[s, slot] = 0.8 + 0.8 * (
+                (int(bits[s, slot]) >> 8) & 0xFF
+            ) / 255.0
             agent_class[s, slot] = CLASS_WALKER
             shape[s, slot] = WALKER_SHAPE
             anchor[s, slot] = pos[s, slot]

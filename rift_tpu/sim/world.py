@@ -38,6 +38,10 @@ from .traffic_lights import ego_red_light_entry, red_ahead
 
 GOAL_RADIUS = 3.0  # CBV reach-goal distance (route_planner.py reach check)
 WALKER_RANGE = 15.0  # crossing distance from the curb anchor before halting
+# walker patrol schedule: one outbound + one homebound leg per period, with
+# curb dwell filling whatever the leg does not use (slowest walker 0.8 m/s
+# covers 15 m in 188 ticks < the 250-tick half period)
+WALKER_PERIOD = 500
 
 
 def autopilot_target_speed(
@@ -116,19 +120,32 @@ def step(
         state.pos, state.heading, state.speed, action, dt
     )
 
-    # walkers: straight road crossing from their curb anchor (stored in
-    # `goal`), halting at the far side once WALKER_RANGE has been covered —
-    # CARLA's DynamicObjectCrossing walker without the AI controller: one
-    # crossing event per walker, then a standing pedestrian obstacle
+    # walkers: curb-to-curb PATROL from their anchor (stored in `goal`) —
+    # CARLA's walker AI controller behavior (round 2 halted after one
+    # crossing; VERDICT r2 item 10): walk out while the schedule's
+    # outbound half-period holds and the far curb is not reached, dwell at
+    # the curb, then walk home, dwell, repeat. The intrinsic walking speed
+    # derives from the agent's spawn bits so the dwell (speed 0) never
+    # destroys it.
     is_walker = state.agent_class == CLASS_WALKER
     is_static = state.agent_class == CLASS_STATIC
     walk_dir = jnp.stack(
         [jnp.cos(state.heading), jnp.sin(state.heading)], axis=-1
     )
+    walker_v = 0.8 + 0.8 * (
+        (state.bv_branch_bits >> 8) & 0xFF
+    ).astype(jnp.float32) / 255.0
+    phase = (
+        state.tick[:, None].astype(jnp.int32)
+        + ((state.bv_branch_bits >> 16) % WALKER_PERIOD).astype(jnp.int32)
+    ) % WALKER_PERIOD
+    outbound = phase < (WALKER_PERIOD // 2)
     progress = jnp.linalg.norm(state.pos - state.goal, axis=-1)
-    crossing = progress < WALKER_RANGE
-    walker_speed = jnp.where(crossing, state.speed, 0.0)
-    walker_pos = state.pos + walker_speed[..., None] * dt * walk_dir
+    go_out = outbound & (progress < WALKER_RANGE)
+    go_home = ~outbound & (progress > 0.3)
+    dirsign = jnp.where(go_out, 1.0, jnp.where(go_home, -1.0, 0.0))
+    walker_speed = walker_v * jnp.abs(dirsign)
+    walker_pos = state.pos + (dirsign * walker_v)[..., None] * dt * walk_dir
     new_pos = jnp.where(is_walker[..., None], walker_pos, new_pos)
     new_heading = jnp.where(is_walker, state.heading, new_heading)
     new_speed = jnp.where(is_walker, walker_speed, new_speed)

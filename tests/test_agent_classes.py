@@ -65,6 +65,29 @@ def test_walker_moves_static_does_not():
     assert moved[st].max() < 1e-4  # statics frozen
 
 
+def test_walker_patrols_back(monkeypatch):
+    """Round 3 (VERDICT r2 item 10): walkers are patrollers, not
+    one-crossing-then-halt props — after reaching the far curb and
+    dwelling, they cross BACK toward their anchor."""
+    env, (state, crit, spec) = _env(num_walkers=1, num_statics=0)
+    cls = np.asarray(state.agent_class)
+    anchors = np.asarray(state.goal).copy()
+    w = (cls == CLASS_WALKER) & np.asarray(state.alive)
+    assert w.any()
+    d_max = np.zeros(state.alive.shape, np.float32)
+    returned = np.zeros(state.alive.shape, bool)
+    for _ in range(60):  # 600 ticks > one full WALKER_PERIOD
+        for _ in range(10):
+            state, crit = env.step(state, crit)
+        d = np.linalg.norm(np.asarray(state.pos) - anchors, axis=-1)
+        returned |= (d_max > 10.0) & (d < d_max - 5.0)
+        d_max = np.maximum(d_max, d)
+        if returned[w].all():
+            break
+    assert d_max[w].max() > 10.0, "walker never crossed"
+    assert returned[w].any(), "walker never patrolled back"
+
+
 def test_walkers_never_promoted_to_cbv():
     env, (state, crit, spec) = _env(num_walkers=3, num_statics=0, num_agents=8)
     # force candidacy conditions: run recognition directly on a state where

@@ -50,6 +50,34 @@ def test_pdm_ego_brakes_for_blocker():
     assert sp_blocked < sp_free * 0.8
 
 
+def test_pdm_ego_stuck_recovery_creep():
+    """Round 3 (VERDICT r2 item 10, autopilot.py:1053-1205): an ego stalled
+    for STUCK_WINDOW ticks with no close hazard creeps forward; with the
+    hazard inside CREEP_MIN_GAP it stays stopped."""
+    st = init_sim_state(1, 2)
+    # history says: barely moved, ego at rest; hazard parked 12 m ahead
+    # (far enough that a creep is safe)
+    hist = jnp.broadcast_to(
+        jnp.array([10.0, 0.0]), st.hist_pos[:, 0].shape
+    )
+    st = st.replace(
+        pos=jnp.array([[[10.0, 0.0], [22.0, 0.0]]]),
+        alive=jnp.ones((1, 2), bool),
+        speed=jnp.zeros((1, 2)),
+        hist_pos=st.hist_pos.at[:, 0].set(hist),
+        hist_valid=st.hist_valid.at[:, 0].set(True),
+    )
+    wp = pdm_ego_waypoints(_spec(1), st)
+    sp = float(jnp.linalg.norm(jnp.diff(wp[0], axis=0), axis=1).mean())
+    assert sp > 0.1, f"stuck ego did not creep (spacing {sp:.3f})"
+
+    # hazard right on the bumper: no creep
+    st_close = st.replace(pos=jnp.array([[[10.0, 0.0], [13.0, 0.0]]]))
+    wp2 = pdm_ego_waypoints(_spec(1), st_close)
+    sp2 = float(jnp.linalg.norm(jnp.diff(wp2[0], axis=0), axis=1).mean())
+    assert sp2 < sp * 0.5, f"crept into a close hazard (spacing {sp2:.3f})"
+
+
 def test_pdm_ego_detects_crossing_traffic():
     # crossing vehicle will intersect the ego route ahead: leader-gap IDM
     # would miss this, forecast sweep must not
