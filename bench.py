@@ -119,6 +119,7 @@ def main(
                 r.model, r.params, r.tmap, spec, s, c,
                 max_cbvs=max_cbvs, num_steps=CHUNK, train=train,
                 with_policy=with_policy, canonical=canonical,
+                map_tok=r._map_tokens() if with_policy else None,
             )
             return s, c
         return fn

@@ -135,8 +135,7 @@ class MapEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, data):
-        m = data["map"]
-        center = m["polygon_center"]  # [B, M, 3]
+        m = data.get("map", {})
         pe = PointsEncoder(self.dim, dtype=self.dtype, norm=self.points_norm)
         type_emb = nn.Embed(3, self.dim, name="type_emb", dtype=self.dtype)
         speed_emb_mod = FourierEmbedding(
@@ -146,22 +145,34 @@ class MapEncoder(nn.Module):
             "unknown_speed_emb", nn.initializers.normal(0.02), (self.dim,)
         )
 
-        on_route_e = nn.Embed(2, self.dim, name="on_route_emb", dtype=self.dtype)(
-            m["polygon_on_route"].astype(jnp.int32)
-        )
-        tl_e = nn.Embed(4, self.dim, name="tl_emb", dtype=self.dtype)(
-            m["polygon_tl_status"].astype(jnp.int32)
-        )
+        def per_slot_embeds():
+            on_route_e = nn.Embed(
+                2, self.dim, name="on_route_emb", dtype=self.dtype
+            )(m["polygon_on_route"].astype(jnp.int32))
+            tl_e = nn.Embed(4, self.dim, name="tl_emb", dtype=self.dtype)(
+                m["polygon_tl_status"].astype(jnp.int32)
+            )
+            return on_route_e, tl_e
 
         if "shared" in data and "map_feat" in data["shared"]:
             # canonical mode, deduplicated path: one frame-invariant token
             # per map lane, gathered per CBV polygon slot
             sh = data["shared"]
-            mf = sh["map_feat"]  # [L, P, 10]
-            L, P, _ = mf.shape
-            tok = pe(mf[None], jnp.ones((1, L, P), bool))[0]  # [L, D]
-            tok = tok + type_emb(sh["map_type"].astype(jnp.int32))
-            tok = tok + speed_emb_mod(sh["map_speed"][..., None])
+            if "map_tok" in sh:
+                # tokens precomputed once per episode (eval / between fits:
+                # params and tmap are frozen, so the per-lane PointsEncoder
+                # output is tick-invariant — models/pluto/policy.py
+                # canonical_map_tokens)
+                tok = sh["map_tok"].astype(self.dtype or jnp.float32)
+            else:
+                mf = sh["map_feat"]  # [L, P, 10]
+                L, P, _ = mf.shape
+                tok = pe(mf[None], jnp.ones((1, L, P), bool))[0]  # [L, D]
+                tok = tok + type_emb(sh["map_type"].astype(jnp.int32))
+                tok = tok + speed_emb_mod(sh["map_speed"][..., None])
+            if "map_tokens_only" in data:
+                return tok
+            on_route_e, tl_e = per_slot_embeds()
             x = tok[m["lane_idx"]]  # [B, M, D]
             return x + on_route_e + tl_e
         if "canonical_feat" in m:
@@ -170,8 +181,11 @@ class MapEncoder(nn.Module):
             x = pe(feat, jnp.ones(feat.shape[:-1], bool))
             x = x + type_emb(m["polygon_type"].astype(jnp.int32))
             x = x + speed_emb_mod(m["polygon_speed_limit"][..., None])
+            on_route_e, tl_e = per_slot_embeds()
             return x + on_route_e + tl_e
         if True:
+            center = m["polygon_center"]  # [B, M, 3]
+            on_route_e, tl_e = per_slot_embeds()
             pt_pos = m["point_position"]  # [B, M, 3, P, 2]
             pt_vec = m["point_vector"]
             pt_ori = m["point_orientation"]
@@ -417,6 +431,13 @@ class PlutoModel(nn.Module):
 
     @nn.compact
     def __call__(self, data: Dict[str, Any], deterministic: bool = True):
+        if "map_tokens_only" in data:
+            # canonical per-lane map tokens [L, D] only (params/tmap frozen
+            # between fits -> precomputable once per episode; the auto
+            # module name MapEncoder_0 matches the full forward's instance)
+            return MapEncoder(
+                self.dim, dtype=self.dtype, points_norm=self.points_norm
+            )(data)
         if "cur_pos" in data["agent"]:  # canonical mode
             agent_pos = data["agent"]["cur_pos"]
             agent_heading = data["agent"]["cur_heading"]

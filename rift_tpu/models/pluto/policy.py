@@ -86,6 +86,30 @@ def _neighbor_states(state: SimState, scenario, slot, n_nbr: int):
     )
 
 
+@partial(jax.jit, static_argnames=("model",))
+def canonical_map_tokens(model: Any, params: Any, tmap: TensorMap):
+    """Precompute the canonical per-lane map tokens [L, D] (MapEncoder's
+    PointsEncoder + type/speed embeds over frame-invariant lane features).
+
+    Pure function of (params, tmap): valid for as long as both are frozen —
+    a whole eval run, or between fine-tune fits. Passing the result as
+    `map_tok` to pluto_cbv_act removes the map PointsEncoder from the
+    per-tick forward entirely (the reference re-encodes every polygon per
+    CBV per tick, pluto_feature_builder.py:259-359)."""
+    from .features import canonical_map_features
+
+    sh = canonical_map_features(tmap)
+    data = {
+        "shared": {
+            "map_feat": sh["feat"],
+            "map_type": sh["type"],
+            "map_speed": sh["speed"],
+        },
+        "map_tokens_only": True,
+    }
+    return model.apply(params, data)
+
+
 @partial(
     jax.jit, static_argnames=("model", "max_cbvs", "train", "topk", "canonical")
 )
@@ -99,6 +123,7 @@ def pluto_cbv_act(
     train: bool = False,
     topk: int = TOPK,
     canonical: bool = False,
+    map_tok: jnp.ndarray | None = None,
 ):
     """Plan all CBVs of all scenarios.
 
@@ -129,6 +154,8 @@ def pluto_cbv_act(
         model_in["shared"] = {
             **shared, "scen_idx": jnp.repeat(jnp.arange(S), C)
         }
+        if map_tok is not None:
+            model_in["shared"]["map_tok"] = map_tok
         out = model.apply(params, model_in)
     else:
         out = model.apply(params, flat_feats)

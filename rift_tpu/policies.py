@@ -114,8 +114,28 @@ class PlutoPolicy:
         return pluto_cbv_act(
             self.model, self.params, self.tmap, spec, state,
             max_cbvs=self.max_cbvs, train=train and self.trainable,
-            canonical=self.canonical,
+            canonical=self.canonical, map_tok=self.map_tokens(),
         )
+
+    def map_tokens(self):
+        """Canonical per-lane map tokens, cached per (params, tmap): the
+        map PointsEncoder leaves the per-tick forward (it is a pure
+        function of frozen state — recomputed only after a fit or a map
+        swap)."""
+        if not self.canonical or self.params is None:
+            return None
+        src = (self.params, self.tmap)  # identity, not value, comparison
+        if not all(
+            a is b
+            for a, b in zip(getattr(self, "_map_tok_src", (None, None)), src)
+        ):
+            from .models.pluto.policy import canonical_map_tokens
+
+            self._map_tok = canonical_map_tokens(
+                self.model, self.params, self.tmap
+            )
+            self._map_tok_src = src
+        return self._map_tok
 
     def train_round(self, *a, **k):
         return []
@@ -209,6 +229,17 @@ class _FineTunedPluto(PlutoPolicy):
         if self.ref_params is None:
             # fallback when no pretrain was loaded: snapshot before the
             # first update (KL-to-init; load_pretrain anchors it properly)
+            if self.name == "grpo_pluto":
+                import warnings
+
+                warnings.warn(
+                    "grpo_pluto trained WITHOUT --pretrain: the KL penalty "
+                    "anchors to the randomly-initialised first-update "
+                    "snapshot, not to a pretrained policy — the reference "
+                    "always anchors to the pretrain "
+                    "(grpo_trainer.py:140-196). Pass --pretrain <npz>.",
+                    stacklevel=2,
+                )
             self.ref_params = self.params
         self.params, losses = fit(
             self.params, self.buffer, self._loss_fn, self.train_cfg, rng,
@@ -694,6 +725,14 @@ class PlanTEgo:
             self.rng, k = jax.random.split(self.rng)
             self.params = jax.jit(self.model.init)(k, tokens, target, light)
         return plant_ego_waypoints(self.model, self.params, spec, state)
+
+    def load(self, path):
+        """Trained PlanT npz (models/plant/train.py save_plant_params) —
+        the reference's plant_agent checkpoint load (plant_agent.py:29).
+        The npz's dims must match this ego's cfg (dim/num_layers)."""
+        from .models.plant.train import load_plant_params
+
+        self.params = load_plant_params(path)
 
 
 class EgoPPO:

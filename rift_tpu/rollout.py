@@ -159,6 +159,7 @@ def rollout_chunk(
     recog_model=None,  # PlanT scorer -> attention recognition (env_step)
     recog_params=None,
     canonical: bool = False,  # frame-invariant token mode (policy.canonical)
+    map_tok=None,  # precomputed canonical per-lane map tokens [L, D]
 ):
     """Advance all scenarios `num_steps` ticks.
 
@@ -199,7 +200,7 @@ def rollout_chunk(
         if with_policy:
             res = pluto_cbv_act(
                 model, params, tmap, spec, state, max_cbvs=max_cbvs,
-                train=train, canonical=canonical,
+                train=train, canonical=canonical, map_tok=map_tok,
             )
             new_state, new_crit = env_step(
                 tmap, spec, state, crit,

@@ -150,6 +150,7 @@ class Runner:
                     self.model, self.params, self.tmap, spec, state,
                     max_cbvs=self.cfg.max_cbvs, train=train,
                     canonical=self.cfg.canonical,
+                    map_tok=self._map_tokens(),
                 )
                 collect(state, res)
                 state, crit = self.env.step(
@@ -172,6 +173,7 @@ class Runner:
                     self.model, self.params, self.tmap, spec, state, crit,
                     max_cbvs=self.cfg.max_cbvs, num_steps=chunk, train=train,
                     canonical=self.cfg.canonical,
+                    map_tok=self._map_tokens(),
                 )
                 if train and extras is not None:
                     self._store_chunk(extras)
@@ -179,6 +181,25 @@ class Runner:
                     break
         self.stats.register_episode(crit, state, spec)
         return state, crit, spec
+
+    def _map_tokens(self):
+        """Canonical per-lane map tokens cached per (params, tmap) — see
+        PlutoPolicy.map_tokens: the map PointsEncoder runs once per
+        param/map change instead of once per tick."""
+        if not self.cfg.canonical or self.params is None:
+            return None
+        src = (self.params, self.tmap)
+        if not all(
+            a is b
+            for a, b in zip(getattr(self, "_map_tok_src", (None, None)), src)
+        ):
+            from .models.pluto.policy import canonical_map_tokens
+
+            self._map_tok = canonical_map_tokens(
+                self.model, self.params, self.tmap
+            )
+            self._map_tok_src = src
+        return self._map_tok
 
     def _store_chunk(self, extras):
         """Append [K, B, ...] stacked chunk samples to the ring buffer."""

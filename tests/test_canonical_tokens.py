@@ -115,6 +115,34 @@ def test_shared_path_matches_gathered_path(world):
     )
 
 
+def test_precomputed_map_tokens_match_inline(world):
+    """pluto_cbv_act with `map_tok` (the per-episode cache that removes the
+    map PointsEncoder from the hot loop) == the inline canonical forward."""
+    from rift_tpu.models.pluto.policy import canonical_map_tokens
+
+    tmap, env, state, crit, spec = world
+    model = PlutoModel(encoder_depth=2, decoder_depth=2)
+    slots = cbv_slot_assignment(state.is_cbv, C)
+    feats, _, shared = build_cbv_features(tmap, state, slots, spec,
+                                          canonical=True)
+    params = model.init(jax.random.PRNGKey(1), _flatten(feats, shared))
+
+    tok = canonical_map_tokens(model, params, tmap)
+    assert tok.shape == (tmap.num_lanes, model.dim)
+
+    out_inline = pluto_cbv_act(
+        model, params, tmap, spec, state, max_cbvs=C, canonical=True
+    )
+    out_cached = pluto_cbv_act(
+        model, params, tmap, spec, state, max_cbvs=C, canonical=True,
+        map_tok=tok,
+    )
+    np.testing.assert_allclose(
+        out_cached["traj"], out_inline["traj"], rtol=2e-2, atol=2e-2
+    )
+    assert bool((out_cached["mask"] == out_inline["mask"]).all())
+
+
 def test_history_features_frame_invariant(world):
     """A global rigid motion of the world leaves own-frame history features
     unchanged — the precondition for sharing tokens across CBV views."""
