@@ -167,6 +167,8 @@ def _route_lanes(
     light_group_base: int,
     cross_roads: bool = True,
     stop_ratio: float = 0.0,
+    extra_corners: list[tuple] | None = None,
+    pts_resampled: np.ndarray | None = None,
 ):
     """Lane dicts for one route: corridor sections + signalised junctions
     with cross roads at corners. Returns (lanes, primary_keys, n_junctions).
@@ -176,10 +178,35 @@ def _route_lanes(
     connectors lose the light phase and every approach lane — the route's
     own and the cross road's — gets a stop line at its end
     (`TensorMap.stop_lane`; CARLA's `traffic.stop` trigger volumes,
-    atomic_criteria.py:1806)."""
-    pts = _resample(keypoints)
-    corners = _find_corners(pts)
+    atomic_criteria.py:1806).
+
+    `extra_corners` = [(resample_idx, light_group, arms)] injects junctions
+    at route-route crossings (shared_map_from_routes): the connector takes
+    the GIVEN light group (the other route holds the opposing phase) and
+    `arms=False` skips the synthetic perpendicular cross road — the other
+    route IS the cross traffic."""
+    pts = _resample(keypoints) if pts_resampled is None else pts_resampled
+    own = _find_corners(pts)
     cut = int(JUNCTION_RADIUS / RESAMPLE_M)
+    gap = int(MIN_CORNER_GAP / RESAMPLE_M)
+    # corner spec: (idx, group_override or None, arms)
+    specs = [(c, None, cross_roads) for c in own]
+    margin = cut + 3
+    for idx, grp, arms in extra_corners or []:
+        idx = int(np.clip(idx, margin, len(pts) - 1 - margin))
+        # a shared crossing WINS over a nearby auto corner — the junction
+        # is at the crossing and its light phase is shared with the other
+        # route; two shared crossings too close keep the first
+        specs = [
+            (c, g, a)
+            for c, g, a in specs
+            if g is not None or abs(idx - c) >= gap
+        ]
+        if any(abs(idx - c) < gap for c, _, _ in specs):
+            continue
+        specs.append((idx, grp, arms))
+    specs.sort(key=lambda t: t[0])
+    corners = [c for c, _, _ in specs]
 
     lanes: list[dict] = []
     primary: list[tuple] = []
@@ -207,9 +234,17 @@ def _route_lanes(
     # junctions between consecutive sections
     stop_every = int(round(1.0 / stop_ratio)) if stop_ratio > 0 else 0
     table = by_key()
-    for j, c in enumerate(corners):
-        is_stop_junction = stop_every > 0 and j % stop_every == 0
-        group = -1 if is_stop_junction else light_group_base + 2 * j
+    n_auto = 0
+    for j, (c, grp_override, arms) in enumerate(specs):
+        # shared-crossing junctions keep their assigned (shared) phase and
+        # are never stop junctions; only auto corners consume local groups
+        if grp_override is None:
+            is_stop_junction = stop_every > 0 and n_auto % stop_every == 0
+            group = -1 if is_stop_junction else light_group_base + 2 * n_auto
+            n_auto += 1
+        else:
+            is_stop_junction = False
+            group = grp_override
         _, prev_last = section_ends[j]
         next_first, _ = section_ends[j + 1]
         h_in = _headings(pts)[max(c - cut, 0)]
@@ -248,7 +283,7 @@ def _route_lanes(
                 # right after its approach segment
                 primary.insert(primary.index(a) + 1, (conn_rid, lane_id))
 
-        if not cross_roads:
+        if not arms:
             continue
         # perpendicular two-way cross road through the corner
         center = pts[c]
@@ -323,7 +358,7 @@ def _route_lanes(
                 )
         table = by_key()
 
-    return lanes, primary, len(corners)
+    return lanes, primary, n_auto
 
 
 def map_from_routes(
@@ -366,6 +401,169 @@ def map_from_routes(
         all_lanes, pad_lanes_to=pad_lanes_to,
         grid_shape=GRID_SHAPE, raster_shape=RASTER_SHAPE,
     )
+    key_to_idx = {
+        (int(r), int(l)): i
+        for i, (r, l) in enumerate(
+            zip(np.asarray(tmap.road_id), np.asarray(tmap.lane_id))
+        )
+        if int(r) >= 0
+    }
+    lane_paths = [
+        [key_to_idx[k] for k in keys if k in key_to_idx] for keys in all_keys
+    ]
+    return tmap, lane_paths
+
+
+CROSS_EPS = 4.0  # proximity (m) that clusters routes into one shared tile
+CROSS_ANGLE = 0.44  # min transversal angle (rad, mod pi) for a crossing
+
+
+def _route_crossings(polys: list[np.ndarray]):
+    """Transversal crossings between resampled route polylines:
+    [(i, idx_i, j, idx_j)] with i < j. Proximal-but-parallel stretches
+    (merges, shared straights) are NOT crossings — only events whose local
+    headings differ by more than CROSS_ANGLE (mod pi) qualify for a shared
+    junction."""
+    out = []
+    gap = int(MIN_CORNER_GAP / RESAMPLE_M)
+    for i in range(len(polys)):
+        for j in range(i + 1, len(polys)):
+            P, Q = polys[i], polys[j]
+            d = np.linalg.norm(P[:, None] - Q[None], axis=-1)
+            close = d < CROSS_EPS
+            if not close.any():
+                continue
+            rows = np.flatnonzero(close.any(1))
+            groups = np.split(
+                rows, np.flatnonzero(np.diff(rows) > gap) + 1
+            )
+            hP, hQ = _headings(P), _headings(Q)
+            for g in groups:
+                sub = d[g]
+                r, c = np.unravel_index(int(sub.argmin()), sub.shape)
+                ii, jj = int(g[r]), int(c)
+                ang = abs(np.angle(np.exp(1j * (hP[ii] - hQ[jj]))))
+                ang = min(ang, np.pi - ang)
+                if ang < CROSS_ANGLE:
+                    continue  # parallel overlap: shared road, no junction
+                out.append((i, ii, j, jj))
+    return out
+
+
+def _proximity_clusters(polys: list[np.ndarray]) -> list[list[int]]:
+    """Union-find clusters of routes whose polylines come within
+    CROSS_EPS of each other (checked on coarse point proximity)."""
+    n = len(polys)
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            # coarse AABB rejection first
+            lo_i, hi_i = polys[i].min(0), polys[i].max(0)
+            lo_j, hi_j = polys[j].min(0), polys[j].max(0)
+            if (lo_i - CROSS_EPS > hi_j).any() or (lo_j - CROSS_EPS > hi_i).any():
+                continue
+            d = np.linalg.norm(polys[i][:, None] - polys[j][None], axis=-1)
+            if d.min() < CROSS_EPS:
+                parent[find(i)] = find(j)
+    clusters: dict[int, list[int]] = {}
+    for i in range(n):
+        clusters.setdefault(find(i), []).append(i)
+    return list(clusters.values())
+
+
+def shared_map_from_routes(
+    keypoints_list: list[np.ndarray],
+    num_lanes: int = 2,
+    lane_width: float = LANE_WIDTH,
+    speed_limit: float = 14.0,
+    pad_lanes_to: int | None = None,
+    stop_ratio: float = 0.0,
+):
+    """ONE persistent town shared by every route of a run (VERDICT r2
+    item 9; the reference's analogue is one `CarlaMap` per town reused for
+    all routes, nuplan_map_utils.py:46-66).
+
+    Unlike `map_from_routes` — which isolates each sampled batch's routes
+    into disjoint tiles and rebuilds the map every episode — this compiles
+    ALL of a run's routes into one TensorMap up front. Routes whose
+    polylines come within CROSS_EPS of each other keep their TRUE relative
+    town geometry inside a shared tile, so overlapping corridors genuinely
+    share road space, and wherever two routes cross transversally a SHARED
+    signalised junction is injected into both: route A's connector holds
+    light phase g (even, green first), route B's holds g+1 (opposing) —
+    each route is the other's cross traffic, so no synthetic perpendicular
+    arms are added there (`arms=False`). Isolated routes tile compactly as
+    before. Parallel overlaps currently duplicate lane geometry in place
+    (both corridors rasterize to the same drivable space) rather than
+    unifying lane records.
+
+    Returns (tmap, lane_paths): lane_paths[i] = route i's primary lane
+    path, reused across every episode of the run (run.py --shared_town).
+    """
+    polys = [
+        _resample(np.asarray(kp, np.float64)[:, :2]) for kp in keypoints_list
+    ]
+    clusters = _proximity_clusters(polys)
+
+    # ---- tile packing: one tile per CLUSTER, members keep relative pose
+    shifted: list[np.ndarray | None] = [None] * len(polys)
+    y_cursor = TILE_PAD
+    for members in clusters:
+        lo = np.min([polys[m].min(0) for m in members], axis=0)
+        hi = np.max([polys[m].max(0) for m in members], axis=0)
+        for m in members:
+            p = polys[m].copy()
+            p[:, 0] += TILE_PAD - lo[0]
+            p[:, 1] += y_cursor - lo[1]
+            shifted[m] = p
+        y_cursor += (hi[1] - lo[1]) + 2 * TILE_PAD + TILE_GAP
+
+    # ---- shared junctions at route-route crossings (per cluster)
+    crossings = []
+    for members in clusters:
+        if len(members) < 2:
+            continue
+        sub = _route_crossings([shifted[m] for m in members])
+        crossings += [
+            (members[i], ii, members[j], jj) for i, ii, j, jj in sub
+        ]
+    # drop crossings too close to a route end for a junction cut
+    margin = int(JUNCTION_RADIUS / RESAMPLE_M) + 4
+    crossings = [
+        (i, ii, j, jj)
+        for i, ii, j, jj in crossings
+        if margin < ii < len(shifted[i]) - 1 - margin
+        and margin < jj < len(shifted[j]) - 1 - margin
+    ]
+    extra: dict[int, list[tuple]] = {}
+    for k, (i, ii, j, jj) in enumerate(crossings):
+        extra.setdefault(i, []).append((ii, 2 * k, False))
+        extra.setdefault(j, []).append((jj, 2 * k + 1, False))
+
+    all_lanes: list[dict] = []
+    all_keys: list[list[tuple]] = []
+    lg_base = 2 * len(crossings)  # shared groups allocated first
+    for ri, pts in enumerate(shifted):
+        lanes, keys, n_junc = _route_lanes(
+            np.zeros((2, 2)), ri * ROAD_ID_STRIDE, num_lanes, lane_width,
+            speed_limit, light_group_base=lg_base, cross_roads=True,
+            stop_ratio=stop_ratio, extra_corners=extra.get(ri),
+            pts_resampled=pts,
+        )
+        lg_base += 2 * n_junc
+        all_lanes.extend(lanes)
+        all_keys.append(keys)
+
+    if pad_lanes_to is None:
+        pad_lanes_to = max(256, -(-len(all_lanes) // 128) * 128)
+    tmap = build_tensor_map(all_lanes, pad_lanes_to=pad_lanes_to)
     key_to_idx = {
         (int(r), int(l)): i
         for i, (r, l) in enumerate(

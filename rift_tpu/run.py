@@ -130,6 +130,8 @@ def run_episode_fused(
             ego=ego_kind, ego_model=ego_model, ego_params=ego_params,
             recog_model=env.recog_model, recog_params=env.recog_params,
             canonical=getattr(cbv, "canonical", False),
+            map_tok=cbv.map_tokens()
+            if hasattr(cbv, "map_tokens") else None,
         )
         if store is not None and extras is not None:
             store(extras)
@@ -210,21 +212,36 @@ def _buf_size(cbv) -> int:
     return 0 if buf is None else int(buf.size)
 
 
-def _check_new_samples(cbv, pre_size: int, ep: int) -> None:
-    """Loud invariant (VERDICT r2 weak#2): a train_cbv episode that adds
-    zero valid samples means the recognition/advantage plumbing is broken
-    (e.g. forced CBVs on pooled, not-yet-awake agents) — fail now instead
-    of silently fitting nothing later."""
+def _check_new_samples(cbv, pre_size: int, ep: int, streak: int = 0) -> int:
+    """Loud invariant (VERDICT r2 weak#2): train_cbv episodes that add
+    zero valid samples mean the recognition/advantage plumbing is broken
+    (e.g. forced CBVs on pooled, not-yet-awake agents).
+
+    ONE empty episode is legitimate — a sparse route batch can recognize
+    no CBVs within 300 ticks (the reference also logs CBV-less episodes,
+    carla_env.py:180-208) — so this warns and only raises after
+    3 CONSECUTIVE empty episodes. Returns the updated streak."""
     if not hasattr(cbv, "buffer"):
-        return
+        return 0
     post = _buf_size(cbv)
-    if post <= pre_size and post < getattr(cbv, "buffer_capacity", 1):
+    if post > pre_size or post >= getattr(cbv, "buffer_capacity", 1):
+        return 0
+    import warnings
+
+    warnings.warn(
+        f"train_cbv episode {ep} added no valid buffer samples "
+        f"(size {pre_size} -> {post}, consecutive empties: {streak + 1})",
+        stacklevel=2,
+    )
+    if streak + 1 >= 3:
         raise RuntimeError(
-            f"train_cbv episode {ep} added no valid buffer samples "
-            f"(size {pre_size} -> {post}): no CBV produced a valid "
-            "advantage — check recognition cadence, adv_valid, and that "
-            "spawned agents are awake (scenario/env.py lazy BV pool)"
+            f"3 consecutive train_cbv episodes added no valid buffer "
+            f"samples (last: episode {ep}, size {post}): no CBV produced "
+            "a valid advantage — check recognition cadence, adv_valid, "
+            "and that spawned agents are awake (scenario/env.py lazy "
+            "BV pool)"
         )
+    return streak + 1
 
 
 def train_ego_episode(env, ego, cbv, state, crit, spec, max_ticks, tmap):
@@ -379,6 +396,12 @@ def main(argv=None):
     p.add_argument("--recog_weights", default="",
                    help="npz of trained PlanT scorer params "
                         "(models/plant/train.py) for --cbv_recog attention")
+    p.add_argument("--ego_weights", default="",
+                   help="npz of trained ego params (PlanT via "
+                        "models/plant/train.py, E2E stacks via train_ego's "
+                        "saved *_bc.npz) loaded into the ego before the "
+                        "run — the reference's team_code checkpoint load "
+                        "(e2e_agent.py:20-142, plant_agent.py:29)")
     p.add_argument("--pretrain", default="",
                    help="npz of pretrained Pluto params (utils/params_io "
                         "format) loaded into the Pluto-family CBV before "
@@ -389,6 +412,15 @@ def main(argv=None):
                    help="after the run, save the CBV's params as a "
                         "canonical pretrain npz (bootstrap-pretrain stage "
                         "of tools/quality_experiment.py)")
+    p.add_argument("--shared_town", action="store_true",
+                   help="compile ALL of the run's routes into ONE "
+                        "persistent TensorMap up front (routes within "
+                        "CROSS_EPS keep true relative town geometry; "
+                        "transversal crossings become shared signalised "
+                        "junctions) instead of rebuilding a per-batch "
+                        "corridor map every episode — the reference's "
+                        "one-CarlaMap-per-town contract "
+                        "(nuplan_map_utils.py:46-66)")
     p.add_argument("--no_fused", action="store_true",
                    help="force the per-tick host loop (debugging); by "
                         "default eval/train_cbv run fused chunks")
@@ -406,8 +438,10 @@ def main(argv=None):
 
     tmap, route_configs = build_map(args)
     loader = None
+    shared_paths = None  # config-index -> lane path on the shared town
+    cfg_route_idx: dict[int, int] = {}
     if tmap is None:
-        from .map.from_route import map_from_routes
+        from .map.from_route import map_from_routes, shared_map_from_routes
         from .scenario.routes import EvalDataLoader, TrainDataLoader
 
         # data loader over the shipped routes (scenario_data_loader.py)
@@ -416,11 +450,18 @@ def main(argv=None):
         else:
             loader = TrainDataLoader(route_configs, args.num_scenario,
                                      seed=args.seed)
-        tmap, _ = map_from_routes(
-            [c.keypoints for c in route_configs[: args.num_scenario]],
-            num_lanes=2, pad_lanes_to=PAD_ROUTE_LANES,
-            stop_ratio=args.stop_ratio,
-        )
+        if args.shared_town:
+            tmap, shared_paths = shared_map_from_routes(
+                [c.keypoints for c in route_configs],
+                num_lanes=2, stop_ratio=args.stop_ratio,
+            )
+            cfg_route_idx = {id(c): i for i, c in enumerate(route_configs)}
+        else:
+            tmap, _ = map_from_routes(
+                [c.keypoints for c in route_configs[: args.num_scenario]],
+                num_lanes=2, pad_lanes_to=PAD_ROUTE_LANES,
+                stop_ratio=args.stop_ratio,
+            )
 
     # auto defaults: eval ships with the full criteria surface on
     num_walkers = args.num_walkers
@@ -441,6 +482,10 @@ def main(argv=None):
     )
     ego = EGO_POLICY_LIST[ego_cfg.get("policy", args.ego_cfg)](tmap, ego_cfg)
     cbv = CBV_POLICY_LIST[cbv_cfg.get("policy", args.cbv_cfg)](tmap, cbv_cfg)
+    if args.ego_weights:
+        assert hasattr(ego, "load"), f"{ego.name} ego takes no weights"
+        ego.load(args.ego_weights)
+        print(f"loaded ego weights {args.ego_weights}")
 
     if args.cbv_recog == "attention":
         from .models.plant import PlanTModel
@@ -516,16 +561,25 @@ def main(argv=None):
         real = list(batch)
         while len(batch) < args.num_scenario:  # pad the final partial batch
             batch.append(batch[-1])
-        new_tmap, lane_paths = map_from_routes(
-            [c.keypoints for c in batch[: args.num_scenario]],
-            num_lanes=2, pad_lanes_to=PAD_ROUTE_LANES,
-            stop_ratio=args.stop_ratio,
-        )
-        env.tmap = new_tmap
-        for pol in (ego, cbv):
-            if hasattr(pol, "tmap"):
-                pol.tmap = new_tmap
-        routes = [route_waypoints(new_tmap, p) for p in lane_paths]
+        if shared_paths is not None:
+            # persistent shared town: the map never changes — episodes
+            # only select which precompiled lane paths to drive
+            lane_paths = [
+                shared_paths[cfg_route_idx[id(c)]]
+                for c in batch[: args.num_scenario]
+            ]
+            routes = [route_waypoints(env.tmap, p) for p in lane_paths]
+        else:
+            new_tmap, lane_paths = map_from_routes(
+                [c.keypoints for c in batch[: args.num_scenario]],
+                num_lanes=2, pad_lanes_to=PAD_ROUTE_LANES,
+                stop_ratio=args.stop_ratio,
+            )
+            env.tmap = new_tmap
+            for pol in (ego, cbv):
+                if hasattr(pol, "tmap"):
+                    pol.tmap = new_tmap
+            routes = [route_waypoints(new_tmap, p) for p in lane_paths]
         st, cr, sp = env.reset(routes=routes, lane_paths=lane_paths)
         # weather -> sensor visibility (E2E camera bridge; the reference's
         # UE4 cameras see rain/fog, ego/sensors.py applies it as range cut)
@@ -562,6 +616,7 @@ def main(argv=None):
         base_dir=os.path.join(out_dir, "runs"),
     )
 
+    empty_streak = 0
     for ep in range(start_ep, args.num_episodes):
         ep_losses = []
         state, crit, spec, batch_cfgs = reset_env(ep)
@@ -615,7 +670,7 @@ def main(argv=None):
                 train=train_cbv_mode,
             )
             if train_cbv_mode:
-                _check_new_samples(cbv, pre_size, ep)
+                empty_streak = _check_new_samples(cbv, pre_size, ep, empty_streak)
             if train_cbv_mode and hasattr(cbv, "buffer_full") and cbv.buffer_full():
                 losses = cbv.train_round()
                 ep_losses = losses
@@ -670,7 +725,7 @@ def main(argv=None):
             if recorder is not None:
                 print(f"episode {ep}: wrote {recorder.save(f'ep{ep}')}")
             if train_cbv_mode:
-                _check_new_samples(cbv, pre_size, ep)
+                empty_streak = _check_new_samples(cbv, pre_size, ep, empty_streak)
             if train_cbv_mode and hasattr(cbv, "buffer_full") and cbv.buffer_full():
                 losses = cbv.train_round()
                 ep_losses = losses
