@@ -188,6 +188,21 @@ def render_cameras(tmap, spec, state) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 # inverse mapping: ego-frame points -> per-camera normalized image coords
 # ---------------------------------------------------------------------------
+def pixel_ground_table():
+    """Static per-pixel EGO-frame ground intersections: ([N_CAM, H, W, 2]
+    points, [N_CAM, H, W] hit mask). The rig is fixed in the ego frame and
+    the ground is the z=0 plane, so pixel->ground geometry is
+    state-independent — only each pixel's semantic content varies. Used by
+    the E2E models' pillar-splat BEV priors (models/e2e/model.py), which
+    lift camera pixels into BEV cells (ops/e2e.py voxelize /
+    dynamic_scatter_mean — the reference's mmcv Voxelization /
+    DynamicScatter ops)."""
+    pts, hit, _ = _ground_points(
+        jnp.zeros(2, jnp.float32), jnp.zeros((), jnp.float32)
+    )
+    return pts, hit
+
+
 def project_points(pts_ego: jnp.ndarray, z: float = 0.0):
     """Ego-frame ground points [..., 2] -> (uv [..., N_CAM, 2] in [0, 1],
     in_view [..., N_CAM] bool). The rig is fixed in the ego frame, so this

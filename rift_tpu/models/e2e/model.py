@@ -42,9 +42,14 @@ from ...ego.sensors import (
 )
 from ...ops.e2e import (
     deformable_aggregation,
+    dynamic_scatter_mean,
+    furthest_point_sample,
+    knn,
     ms_deform_attn,
+    nms3d,
     nms_rotated,
     roi_align_rotated,
+    voxelize,
 )
 
 PRED_LEN = 4  # waypoints, 0.5 s apart (PlanT convention, plant/model.py)
@@ -246,13 +251,80 @@ class E2EModel(nn.Module):
         ctx = jnp.concatenate([target / 30.0, speed[:, None] / 10.0], -1)
         if self.variant == "sparsedrive":
             return self._sparsedrive(value, shapes, ctx, target)
-        bev = self._build_bev(value, shapes)
+        bev = self._build_bev(value, shapes, imgs)
         if self.variant == "vad":
             return self._vad(bev, ctx, target)
         return self._uniad(bev, ctx, target)
 
     # --- dense BEV (uniad / vad) -----------------------------------------
-    def _build_bev(self, value, shapes):
+    def _splat_bev(self, imgs):
+        """Pillar-splat BEV prior from raw semantic pixels: every camera
+        pixel's (static) ego-frame ground point + its semantic channels
+        form a pseudo point cloud, hard-voxelized onto the BEV lattice and
+        mean-pooled per pillar (LSS/PointPillars view transform via the
+        reference's mmcv Voxelization op, ops/e2e.py:voxelize) ->
+        [B, Q, dim]."""
+        from ...ego.sensors import pixel_ground_table
+
+        pts, hit = pixel_ground_table()
+        N = NUM_CAMERAS * IMG_H * IMG_W
+        xyz = jnp.concatenate(
+            [pts.reshape(N, 2), jnp.zeros((N, 1), jnp.float32)], -1
+        )
+        hit_flat = hit.reshape(N)
+        vx = (BEV_X1 - BEV_X0) / BEV_W
+        vy = (BEV_Y1 - BEV_Y0) / BEV_H
+        Q = BEV_H * BEV_W
+
+        def one(img):
+            feats = img.reshape(N, NUM_CHANNELS)
+            valid = hit_flat & (feats[:, 0] > 0.5)  # CH_VALID
+            points = jnp.concatenate([xyz, feats], -1)
+            vox, coords, num, vvalid = voxelize(
+                points, valid, voxel_size=(vx, vy, 4.0),
+                pc_range=(BEV_X0, BEV_Y0, -2.0, BEV_X1, BEV_Y1, 2.0),
+                max_voxels=Q, max_points=8,
+            )
+            m = jnp.arange(vox.shape[1])[None, :] < num[:, None]
+            pillar = jnp.where(m[..., None], vox[..., 3:], 0.0).sum(1)
+            pillar = pillar / jnp.maximum(num[:, None], 1)
+            cell = coords[:, 1] * BEV_W + coords[:, 0]  # (iy, ix) row-major
+            dense = jnp.zeros((Q + 1, NUM_CHANNELS), jnp.float32)
+            dense = dense.at[jnp.where(vvalid, cell, Q)].add(
+                jnp.where(vvalid[:, None], pillar, 0.0)
+            )
+            return dense[:Q]
+
+        return nn.Dense(self.dim, name="pillar_splat")(jax.vmap(one)(imgs))
+
+    def _scatter_l0(self, value, shapes):
+        """Feature-splat BEV prior: level-0 backbone features mean-pooled
+        into the BEV cell under each pixel's static ground point (the
+        reference's mmcv DynamicScatter, ops/e2e.py:dynamic_scatter_mean)
+        -> [B, Q, dim]."""
+        from ...ego.sensors import pixel_ground_table
+
+        pts, hit = pixel_ground_table()
+        p0, h0 = pts[:, ::2, ::2], hit[:, ::2, ::2]  # level-0 grid (H/2)
+        vx = (BEV_X1 - BEV_X0) / BEV_W
+        vy = (BEV_Y1 - BEV_Y0) / BEV_H
+        ix = jnp.floor((p0[..., 0] - BEV_X0) / vx).astype(jnp.int32)
+        iy = jnp.floor((p0[..., 1] - BEV_Y0) / vy).astype(jnp.int32)
+        ok = h0 & (ix >= 0) & (ix < BEV_W) & (iy >= 0) & (iy < BEV_H)
+        vid = jnp.where(ok, iy * BEV_W + ix, -1).reshape(-1)
+
+        feats, off = [], 0
+        for cam in range(NUM_CAMERAS):
+            for lvl, (h, w) in enumerate(shapes[cam]):
+                if lvl == 0:
+                    feats.append(value[:, off:off + h * w])
+                off += h * w
+        l0 = jnp.concatenate(feats, 1)  # [B, N_CAM*h0*w0, D]
+        Q = BEV_H * BEV_W
+        pooled = jax.vmap(lambda f: dynamic_scatter_mean(f, vid, Q))(l0)
+        return nn.Dense(self.dim, name="l0_splat")(pooled)
+
+    def _build_bev(self, value, shapes, imgs):
         Q = BEV_H * BEV_W
         centers = jnp.asarray(bev_cell_centers())
         base_uv, in_view = project_points(centers)  # static geometry
@@ -260,6 +332,8 @@ class E2EModel(nn.Module):
             "bev_query", nn.initializers.normal(0.02), (Q, self.dim)
         )
         bev = jnp.broadcast_to(emb, (value.shape[0], Q, self.dim))
+        # splat priors seed the queries before deformable refinement
+        bev = bev + self._splat_bev(imgs) + self._scatter_l0(value, shapes)
         for i in range(2):
             bev = bev + BEVCrossAttention(
                 self.dim, self.num_heads, name=f"sca_{i}"
@@ -408,6 +482,14 @@ class E2EModel(nn.Module):
             )  # [B, Qd*5, D]
             feat = feat.reshape(B, Qd, 5, self.dim).mean(2)
             inst = inst + nn.Dense(self.dim, name=f"agg_proj_{i}")(feat)
+            # sparse instance interaction: message-pass over each
+            # instance's k nearest neighbors in BEV (the sparse-graph
+            # attention of the namesake; ops/e2e.py:knn = mmcv ops/knn)
+            nb = jax.vmap(lambda c: knn(c, c, 4))(boxes[..., :2])
+            neigh = jax.vmap(lambda f, ii: f[ii])(inst, nb)  # [B, Qd, 4, D]
+            inst = inst + nn.Dense(self.dim, name=f"knn_msg_{i}")(
+                neigh.mean(2)
+            )
             inst = TransformerBlock(
                 self.dim, self.num_heads, name=f"inst_{i}"
             )(inst)
@@ -415,16 +497,41 @@ class E2EModel(nn.Module):
             boxes = boxes + delta * jnp.asarray([2.0, 2.0, 0.2, 0.2, 0.1])
 
         score = nn.Dense(1, name="cls")(inst)[..., 0]
+        # 3D-NMS detection decode: lift (cx, cy, w, l, yaw) to 7-dof boxes
+        # and greedy-suppress on 3D IoU (mmcv iou3d nms_gpu,
+        # ops/e2e.py:nms3d / boxes_iou3d)
+        zc = jnp.full(boxes.shape[:-1] + (1,), 0.9)
+        hh = jnp.full_like(zc, 1.8)
+        b7 = jnp.concatenate(
+            [boxes[..., :2], zc, boxes[..., 2:4], hh, boxes[..., 4:5]], -1
+        )
+        det_keep = jax.vmap(lambda b, s: nms3d(b, s, 0.3))(b7, score)
+
         pq = self.param(
             "plan_query", nn.initializers.normal(0.02), (1, self.dim)
         )
         plan = jnp.broadcast_to(pq, (B, 1, self.dim))
+        # plan context: spatially-diverse instances picked by
+        # furthest-point sampling over detected centers (high-score half
+        # eligible; mmcv ops/furthest_point_sample)
+        n_ctx = min(8, Qd)
+        fps_idx = jax.vmap(
+            lambda c, s: furthest_point_sample(
+                c, n_ctx, valid=s >= jnp.median(s)
+            )
+        )(boxes[..., :2], score)
+        plan_kv = jax.vmap(lambda f, ii: f[ii])(inst, fps_idx)
         plan = TransformerBlock(self.dim, self.num_heads, name="plan")(
-            plan, kv=inst
+            plan, kv=plan_kv
         )[:, 0]
         z = jnp.concatenate([plan, nn.Dense(self.dim, name="ctx")(ctx)], -1)
         wp = WaypointGRU(name="wp")(z, target)
-        return {"pred_wp": wp, "det_boxes": boxes, "det_scores": score}
+        return {
+            "pred_wp": wp,
+            "det_boxes": boxes,
+            "det_scores": score,
+            "det_keep": det_keep,
+        }
 
     @staticmethod
     def _key_points(boxes):
