@@ -71,9 +71,48 @@ WORKER = textwrap.dedent(
         gstate.pos.addressable_shards, key=lambda s: s.index[0].start or 0
     )
     local_pos = np.concatenate([np.asarray(s.data) for s in shards])
+
+    # ---- cross-host FIT: one product train_step whose batch is sharded
+    # over both hosts -> the gradient reduction is a psum over DCN
+    # (VERDICT r2 item 8: rollout above + fit here, vs single-process)
+    import flax.linen as nn
+    import jax.numpy as jnp
+    import optax
+
+    from rift_tpu.rl.trainer import make_train_step
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(1)(jnp.tanh(nn.Dense(16)(x)))
+
+    model = Tiny()
+    xs = np.linspace(-1.0, 1.0, 32, dtype=np.float32).reshape(32, 1)
+    ys = (2.0 * xs + 0.5).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(xs[:1]))
+    tx = optax.sgd(0.1)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, batch, rng):
+        return jnp.mean((model.apply(p, batch["x"]) - batch["y"]) ** 2)
+
+    step = make_train_step(loss_fn, tx)
+    params = replicate_global(jax.device_get(params), mesh)
+    opt_state = jax.tree.map(
+        lambda x: replicate_global(jax.device_get(x), mesh), opt_state
+    )
+    lo2, hi2 = pid * 16, (pid + 1) * 16
+    batch = host_local_batch({"x": xs[lo2:hi2], "y": ys[lo2:hi2]}, mesh)
+    rng = replicate_global(np.asarray(jax.random.PRNGKey(7)), mesh)
+    params, opt_state, loss = step(params, opt_state, batch, rng)
+    flat = jax.tree_util.tree_leaves(jax.device_get(params))
+    param_sum = float(sum(np.asarray(a, np.float64).sum() for a in flat))
+
     print("RESULT" + json.dumps({
         "pid": pid,
         "pos": np.asarray(local_pos).tolist(),
+        "loss": float(loss),
+        "param_sum": param_sum,
     }))
     """
 )
@@ -105,14 +144,50 @@ def test_two_process_dcn_step_matches_single_host(tmp_path):
         assert p.returncode == 0, f"worker failed:\n{err[-4000:]}"
         outs.append(out)
 
-    shards = {}
+    shards, fits = {}, {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("RESULT"):
                 d = json.loads(line[len("RESULT"):])
                 shards[d["pid"]] = np.asarray(d["pos"], np.float32)
+                fits[d["pid"]] = (d["loss"], d["param_sum"])
     assert set(shards) == {0, 1}
     multi = np.concatenate([shards[0], shards[1]])
+
+    # both hosts converge to the SAME post-psum params and loss
+    assert fits[0] == pytest.approx(fits[1], abs=1e-6)
+
+    # cross-host fit ground truth: same tiny fit, single process
+    import flax.linen as nn
+    import jax.numpy as jnp
+    import optax
+
+    from rift_tpu.rl.trainer import make_train_step
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(1)(jnp.tanh(nn.Dense(16)(x)))
+
+    model = Tiny()
+    xs = np.linspace(-1.0, 1.0, 32, dtype=np.float32).reshape(32, 1)
+    ys = (2.0 * xs + 0.5).astype(np.float32)
+    params = model.init(__import__("jax").random.PRNGKey(0), jnp.asarray(xs[:1]))
+    tx = optax.sgd(0.1)
+
+    def loss_fn(p, batch, rng):
+        return jnp.mean((model.apply(p, batch["x"]) - batch["y"]) ** 2)
+
+    step = make_train_step(loss_fn, tx)
+    import jax as _jax
+
+    params, _, loss1 = step(
+        params, tx.init(params), {"x": xs, "y": ys}, _jax.random.PRNGKey(7)
+    )
+    flat = _jax.tree_util.tree_leaves(_jax.device_get(params))
+    psum1 = float(sum(np.asarray(a, np.float64).sum() for a in flat))
+    assert fits[0][0] == pytest.approx(float(loss1), abs=1e-5)
+    assert fits[0][1] == pytest.approx(psum1, abs=1e-5)
 
     # single-host ground truth (this process, 8 local devices via conftest)
     import jax
