@@ -32,10 +32,57 @@ def _host_fingerprint() -> str:
     return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
 
 
+def _flags_line() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return line.strip()
+    except OSError:
+        pass
+    import platform
+
+    return platform.processor()
+
+
+def _purge_stale(root: str, path: str) -> None:
+    """Remove cache blobs that this host did not write (VERDICT r2 weak#10:
+    stale cross-machine XLA:CPU AOT entries load with SIGILL warnings —
+    namespacing keys new writes, but pre-namespace / colliding blobs must
+    go). A HOST_FLAGS marker records the FULL flags line; mismatch or
+    absence alongside existing blobs purges the directory. Legacy blobs
+    sitting directly under the cache root (pre-namespace layout) are
+    removed too."""
+    import shutil
+
+    marker = os.path.join(path, "HOST_FLAGS")
+    flags = _flags_line()
+    try:
+        entries = [e for e in os.listdir(path) if e != "HOST_FLAGS"]
+        recorded = None
+        if os.path.exists(marker):
+            with open(marker) as f:
+                recorded = f.read()
+        if entries and recorded != flags:
+            shutil.rmtree(path)
+            os.makedirs(path, exist_ok=True)
+        if not os.path.exists(marker) or recorded != flags:
+            with open(marker, "w") as f:
+                f.write(flags)
+        # legacy top-level blobs (written before namespacing)
+        for e in os.listdir(root):
+            p = os.path.join(root, e)
+            if os.path.isfile(p):
+                os.unlink(p)
+    except OSError:
+        pass
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
-    path = os.path.abspath(cache_dir or DEFAULT_CACHE_DIR)
-    path = os.path.join(path, _host_fingerprint())
+    root = os.path.abspath(cache_dir or DEFAULT_CACHE_DIR)
+    path = os.path.join(root, _host_fingerprint())
     os.makedirs(path, exist_ok=True)
+    _purge_stale(root, path)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
