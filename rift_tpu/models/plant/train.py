@@ -199,11 +199,19 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--out", default="plant_params.npz")
+    # PlanT_medium dims by default (configs/plant.yaml; the reference's
+    # PlanT_medium HF config, rift/ego/plant/model.py:22) — the npz must
+    # match the ego cfg it is loaded into (--ego_weights)
+    p.add_argument("--dim", type=int, default=512)
+    p.add_argument("--num_layers", type=int, default=8)
+    p.add_argument("--num_heads", type=int, default=8)
     args = p.parse_args(argv)
 
     data = CollectBuffer.load(args.h5)
     dataset = plant_bc_dataset(data)
-    model = PlanTModel(dim=128, num_layers=4, num_heads=4)
+    model = PlanTModel(
+        dim=args.dim, num_layers=args.num_layers, num_heads=args.num_heads
+    )
     params = init_params_on_cpu(
         lambda tk, tp, lh: model.init(jax.random.PRNGKey(0), tk, tp, lh),
         dataset[0][:2], dataset[1][:2], dataset[2][:2],
