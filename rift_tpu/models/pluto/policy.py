@@ -111,7 +111,8 @@ def canonical_map_tokens(model: Any, params: Any, tmap: TensorMap):
 
 
 @partial(
-    jax.jit, static_argnames=("model", "max_cbvs", "train", "topk", "canonical")
+    jax.jit,
+    static_argnames=("model", "max_cbvs", "train", "topk", "canonical", "adv_debug"),
 )
 def pluto_cbv_act(
     model: Any,
@@ -124,6 +125,7 @@ def pluto_cbv_act(
     topk: int = TOPK,
     canonical: bool = False,
     map_tok: jnp.ndarray | None = None,
+    adv_debug: bool = False,  # evaluator reward-component attribution
 ):
     """Plan all CBVs of all scenarios.
 
@@ -254,12 +256,16 @@ def pluto_cbv_act(
             state.speed[scen, slot].reshape(B),
             state.shape[scen, slot].reshape(B, 2),
             *[fb(x) for x in nbr],
+            debug=adv_debug,
         )
         adv = jax.tree.map(lambda x: x.reshape((S, C) + x.shape[1:]), adv)
         result["old_logits"] = prob
         result["advantage"] = adv["advantage"]
         result["adv_valid"] = adv["valid_mask"] & slot_valid[..., None, None]
         result["rollout_return"] = adv["rollout_return"]
+        for k, v in adv.items():
+            if k.startswith("dbg_"):
+                result[k] = v
     else:
         result["old_logits"] = jnp.zeros((S, C, R, M))
         result["advantage"] = jnp.zeros((S, C, R, M))

@@ -65,10 +65,11 @@ REWARD_PARAMS = dict(
 
 def dense_reward(
     delta_dis, delta_angle, speed, acc, angular_vel, angular_acc,
-    collision, offroad, p=REWARD_PARAMS,
+    collision, offroad, p=REWARD_PARAMS, components=False,
 ):
     """Vectorized RIFT dense reward. All args broadcastable; delta_dis and
-    delta_angle are absolute values."""
+    delta_angle are absolute values. With components=True, returns a dict
+    of the individual terms instead of their sum (diagnostics)."""
     cos_a = jnp.cos(delta_angle)
     r_collision = -(p["alpha_collision"] + jnp.abs(speed)) * collision
     r_offroad = -p["alpha_boundary"] * offroad
@@ -96,6 +97,12 @@ def dense_reward(
     )
     moving = (jnp.abs(speed) > 0) | (jnp.abs(acc) > 0)
     r_time = -p["alpha_timestep"] * moving.astype(jnp.float32)
+    if components:
+        return {
+            "collision": r_collision, "offroad": r_offroad,
+            "comfort": r_comfort, "align": r_align, "center": r_center,
+            "velocity": r_velocity, "time": r_time,
+        }
     return (
         r_collision + r_offroad + r_comfort + r_align + r_center + r_velocity + r_time
     )
@@ -355,7 +362,7 @@ def ref_line_matrices(
 # --------------------------------------------------------------------------
 # The fused advantage kernel (get_grpo_advantage spec)
 # --------------------------------------------------------------------------
-@partial(jax.jit, static_argnames=("dt", "num_frames"))
+@partial(jax.jit, static_argnames=("dt", "num_frames", "debug"))
 def grpo_advantage_batched(
     tmap: TensorMap,
     trajectories: jnp.ndarray,  # [B, R, M, T, 6] local-frame model output
@@ -375,6 +382,7 @@ def grpo_advantage_batched(
     nbr_valid: jnp.ndarray,  # [B, N]
     dt: float = 0.1,
     num_frames: int = NUM_FRAMES,
+    debug: bool = False,
 ):
     """Group-relative advantage, batched over B CBVs at once.
 
@@ -494,11 +502,27 @@ def grpo_advantage_batched(
     std = jnp.sqrt(var) + 1e-5
     adv = (ret - mean) / std
 
-    return {
+    out = {
         "advantage": (adv * cand_valid).reshape(B, R, M),
         "valid_mask": cand_valid.reshape(B, R, M),
         "rollout_return": (ret * cand_valid).reshape(B, R, M),
     }
+    if debug:
+        # per-candidate discounted sums of each reward component + rollout
+        # event stats (tools/diag_advantage.py attribution)
+        comps = dense_reward(
+            delta_dis, delta_angle, roll_speed, roll_acc, roll_yaw_rate,
+            roll_yaw_acc, collision.astype(jnp.float32),
+            offroad.astype(jnp.float32), components=True,
+        )
+        w = active * discount
+        for k, v in comps.items():
+            out[f"dbg_{k}"] = jnp.sum(v * w, axis=-1).reshape(B, R, M)
+        out["dbg_collided"] = collision.any(-1).reshape(B, R, M)
+        out["dbg_offroad_frac"] = offroad.mean(-1).reshape(B, R, M)
+        out["dbg_mean_speed"] = roll_speed.mean(-1).reshape(B, R, M)
+        out["dbg_mean_absdd"] = delta_dis.mean(-1).reshape(B, R, M)
+    return out
 
 
 @partial(jax.jit, static_argnames=("dt", "num_frames"))

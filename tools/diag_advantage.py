@@ -212,6 +212,45 @@ def main():
     )
     print(f"policy logit percentile of teacher pick after fit: {t2.mean():.3f}")
 
+    # ---- 4. what the advantage is made of --------------------------------
+    # fresh mid-episode state -> evaluator with reward-component attribution
+    print("\n=== 4. advantage attribution (reward components) ===")
+    from rift_tpu.models.pluto.policy import pluto_cbv_act
+
+    state4, crit4, _ = env.reset(routes=routes, lane_paths=lane_paths)
+    state4, crit4 = run_episode_fused(
+        env, ego, cbv, state4, crit4, spec, 60, train=False
+    )
+    res = pluto_cbv_act(
+        cbv.model, cbv.params, cbv.tmap, spec, state4,
+        max_cbvs=cbv.max_cbvs, train=True, canonical=cbv.canonical,
+        map_tok=cbv.map_tokens(), adv_debug=True,
+    )
+    Sx, Cx, Rx, Mx = np.asarray(res["adv_valid"]).shape
+    SC = Sx * Cx
+    v4 = np.asarray(res["adv_valid"]).reshape(SC, Rx * Mx)
+    a4 = np.asarray(res["advantage"]).reshape(SC, -1)
+    live = v4.any(-1)
+    print(f"live CBV samples: {live.sum()}/{SC}")
+    comps = {
+        k[4:]: np.asarray(res[k]).reshape(SC, -1)
+        for k in res if k.startswith("dbg_")
+    }
+    m4 = v4 & live[:, None]
+    for k, c in sorted(comps.items()):
+        cm = c[m4]
+        if k in ("collided",):
+            print(f"  {k:>14}: fired on {cm.mean():.3f} of candidates")
+            continue
+        if k in ("offroad_frac",):
+            print(f"  {k:>14}: mean {cm.mean():.3f} frac>0 {(cm > 0).mean():.3f}")
+            continue
+        corr = (
+            np.corrcoef(cm, a4[m4])[0, 1] if cm.std() > 1e-9 else float("nan")
+        )
+        print(f"  {k:>14}: mean {cm.mean():+8.3f} std {cm.std():7.3f} "
+              f"corr(adv) {corr:+.3f}")
+
 
 if __name__ == "__main__":
     main()
