@@ -66,36 +66,82 @@ def warmup_cosine(lr: float, min_lr: float, total_steps: int, warmup_steps: int)
     )
 
 
-def make_optimizer(params: Any, cfg: TrainConfig, steps_per_epoch: int, round_idx: int = 0):
-    lr = cfg.lr * (cfg.cl_lr_decay**round_idx)
-    schedule = warmup_cosine(
-        lr,
-        lr * cfg.cl_lr_decay,
-        cfg.epochs * steps_per_epoch,
-        cfg.warmup_epochs * steps_per_epoch,
-    )
+def make_optimizer(params: Any, cfg: TrainConfig):
+    """Learning-rate-free transform chain: clip -> Adam moments -> decoupled
+    weight decay (trainable leaves only). The lr (warmup-cosine x per-round
+    closed-loop decay) is applied OUTSIDE as a traced scalar in train_step —
+    baking it into the optimizer (the old optax.adamw(schedule) chain) made
+    every fine-tune round a fresh jit closure and thus a full recompile per
+    buffer-fill (rlft_pluto.py:206-247 pays the same via a fresh Lightning
+    Trainer per round; here one compiled step serves every round)."""
     mask = trainable_mask(params, cfg.trainable_prefixes)
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adamw(schedule, weight_decay=cfg.weight_decay),
+        optax.scale_by_adam(),
+        optax.add_decayed_weights(cfg.weight_decay, mask=mask),
     )
-    labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
-    return optax.multi_transform(
-        {"train": tx, "freeze": optax.set_to_zero()}, labels
-    )
+    return tx, mask
 
 
-def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation):
-    """loss_fn(params, batch, rng) -> scalar."""
+def make_train_step(
+    loss_fn: Callable,
+    tx: optax.GradientTransformation,
+    mask: Any = None,
+):
+    """loss_fn(params, batch, rng) -> scalar.
+
+    Without `mask` (generic use, e.g. tests): `tx` must include the learning
+    rate (optax.sgd/adamw) and the step signature is
+    (params, opt_state, batch, rng).
+
+    With `mask` (the fine-tune path): `tx` is lr-free (make_optimizer) and
+    the step takes a trailing traced `lr` scalar, so the compiled step is
+    reused across epochs AND fine-tune rounds."""
+    if mask is None:
+
+        @jax.jit
+        def train_step(params, opt_state, batch, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return train_step
 
     @jax.jit
-    def train_step(params, opt_state, batch, rng):
+    def train_step_lr(params, opt_state, batch, rng, lr):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        # zero frozen-leaf grads BEFORE the clip so the global norm matches
+        # the old per-subset multi_transform behavior (norm over trainable
+        # grads only); mask leaves are python bools -> pruned at trace
+        grads = jax.tree.map(
+            lambda g, m: g if m else jnp.zeros_like(g), grads, mask
+        )
         updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(
+            lambda u, m: u * (-lr) if m else jnp.zeros_like(u), updates, mask
+        )
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    return train_step
+    return train_step_lr
+
+
+# (loss_fn owner, loss_fn func, cfg) -> (tx, mask, train_step); bound methods
+# get a fresh object per attribute access, so key on (owner, func)
+_STEP_CACHE: dict = {}
+
+
+def _cached_train_step(loss_fn: Callable, params: Any, cfg: TrainConfig):
+    key = (
+        id(getattr(loss_fn, "__self__", loss_fn)),
+        getattr(loss_fn, "__func__", loss_fn),
+        cfg,
+    )
+    if key not in _STEP_CACHE:
+        tx, mask = make_optimizer(params, cfg)
+        _STEP_CACHE[key] = (tx, make_train_step(loss_fn, tx, mask=mask))
+    return _STEP_CACHE[key]
 
 
 def fit(
@@ -127,15 +173,31 @@ def fit(
             "lazy BV pool)"
         )
     steps_per_epoch = max(size // cfg.batch_size, 1)
-    tx = make_optimizer(params, cfg, steps_per_epoch, round_idx)
-    opt_state = tx.init(params)
-    train_step = make_train_step(loss_fn, tx)
+    tx, train_step = _cached_train_step(loss_fn, params, cfg)
+    opt_state = tx.init(params)  # fresh optimizer state per round, as the
+    # reference's per-round Lightning engine does (training_builder.py:160)
+    # per-round closed-loop lr decay + per-step warmup-cosine, evaluated on
+    # the host (plain math, no device dispatch) and fed to the compiled step
+    # as a traced scalar
+    import math
+
+    lr0 = cfg.lr * (cfg.cl_lr_decay**round_idx)
+    min_lr = lr0 * cfg.cl_lr_decay
+    total = cfg.epochs * steps_per_epoch
+    warmup = max(cfg.warmup_epochs * steps_per_epoch, 1)
+
+    def schedule(step: int) -> float:
+        if step < warmup:
+            return lr0 * step / warmup
+        t = min((step - warmup) / max(total - warmup, 1), 1.0)
+        return min_lr + 0.5 * (lr0 - min_lr) * (1.0 + math.cos(math.pi * t))
     if mesh is not None:
         from ..parallel import replicate, shard_batch
 
         opt_state = replicate(opt_state, mesh)
 
     epoch_losses = []
+    step_i = 0
     for epoch in range(cfg.epochs):
         rng, krng = jax.random.split(rng)
         idx = sample_batches(buf, krng, cfg.batch_size, steps_per_epoch)
@@ -145,7 +207,11 @@ def fit(
             batch = gather_batch(buf, idx[b])
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
-            params, opt_state, loss = train_step(params, opt_state, batch, srng)
+            lr = jnp.float32(schedule(step_i))
+            params, opt_state, loss = train_step(
+                params, opt_state, batch, srng, lr
+            )
             losses.append(loss)
+            step_i += 1
         epoch_losses.append(float(jnp.stack(losses).mean()))
     return params, epoch_losses

@@ -40,7 +40,7 @@ def timeit(name, fn, *args, n=10, **kw):
     return out, dt
 
 
-def main(s=64, a=24, c=3, chunk=10, stages=1, train=1):
+def main(s=64, a=24, c=3, chunk=10, stages=1, train=1, canonical=1):
     from rift_tpu.map import make_grid_town
     from rift_tpu.models.pluto import build_cbv_features
     from rift_tpu.models.pluto.policy import pluto_cbv_act
@@ -51,10 +51,15 @@ def main(s=64, a=24, c=3, chunk=10, stages=1, train=1):
     from rift_tpu.scenario.recognition import recognize_cbvs
 
     tmap = make_grid_town(blocks=2, num_lanes=2)
-    cfg = RunnerConfig(num_scenarios=s, num_agents=a, max_cbvs=c)
+    # profile the bench's default path: frame-invariant canonical tokens
+    # (bench.py RIFT_TPU_CANONICAL); canonical=0 reverts to per-CBV encoding
+    cfg = RunnerConfig(
+        num_scenarios=s, num_agents=a, max_cbvs=c, canonical=bool(canonical)
+    )
     r = Runner(tmap, cfg)
     state, crit, spec = r.init_params()
-    print(f"backend={jax.default_backend()} S={s} A={a} C={c} L={tmap.num_lanes}")
+    print(f"backend={jax.default_backend()} S={s} A={a} C={c} "
+          f"L={tmap.num_lanes} canonical={bool(canonical)}")
 
     # warm the state with a few live CBVs
     state = state.replace(
@@ -73,31 +78,50 @@ def main(s=64, a=24, c=3, chunk=10, stages=1, train=1):
     timeit("recognize_cbvs", recognize_cbvs, tmap, spec, state, c)
 
     slots = cbv_slot_assignment(state.is_cbv, c)
-    feats_valid, _ = timeit(
-        "build_cbv_features", build_cbv_features, tmap, state, slots, spec
-    )
-    feats = feats_valid[0]
-    flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), feats)
+    map_tok = r._map_tokens()
+    if canonical:
+        bf = jax.jit(lambda st: build_cbv_features(
+            tmap, st, slots, spec, canonical=True
+        ))
+        (feats, _, shared), _ = timeit("build_cbv_features (canonical)", bf, state)
+        flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), feats)
+        flat = dict(flat)
+        flat["shared"] = {
+            **shared,
+            "scen_idx": jnp.repeat(jnp.arange(s), c),
+            **({"map_tok": map_tok} if map_tok is not None else {}),
+        }
+    else:
+        feats_valid, _ = timeit(
+            "build_cbv_features", build_cbv_features, tmap, state, slots, spec
+        )
+        feats = feats_valid[0]
+        flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), feats)
 
     fwd = jax.jit(lambda p, b: r.model.apply(p, b))
     timeit("pluto forward (B=S*C)", fwd, r.params, flat)
 
     timeit("pluto_cbv_act eval", pluto_cbv_act, r.model, r.params, tmap, spec,
-           state, max_cbvs=c, train=False)
+           state, max_cbvs=c, train=False, canonical=bool(canonical),
+           map_tok=map_tok)
     timeit("pluto_cbv_act train (incl evaluator)", pluto_cbv_act, r.model,
-           r.params, tmap, spec, state, max_cbvs=c, train=True)
+           r.params, tmap, spec, state, max_cbvs=c, train=True,
+           canonical=bool(canonical), map_tok=map_tok)
 
-    _run_chunks(r, tmap, spec, state, crit, c, chunk, train)
+    _run_chunks(r, tmap, spec, state, crit, c, chunk, train,
+                bool(canonical), map_tok)
 
 
-def _run_chunks(r, tmap, spec, state, crit, c, chunk, train):
+def _run_chunks(r, tmap, spec, state, crit, c, chunk, train,
+                canonical=False, map_tok=None):
     from rift_tpu.rollout import rollout_chunk
 
     s = state.alive.shape[0]
 
     def chunk_eval(st, cr):
         st, cr, _ = rollout_chunk(r.model, r.params, tmap, spec, st, cr,
-                                  max_cbvs=c, num_steps=chunk)
+                                  max_cbvs=c, num_steps=chunk,
+                                  canonical=canonical, map_tok=map_tok)
         return st, cr
 
     def chunk_world(st, cr):
@@ -107,7 +131,8 @@ def _run_chunks(r, tmap, spec, state, crit, c, chunk, train):
 
     def chunk_train(st, cr):
         st, cr, ex = rollout_chunk(r.model, r.params, tmap, spec, st, cr,
-                                   max_cbvs=c, num_steps=chunk, train=True)
+                                   max_cbvs=c, num_steps=chunk, train=True,
+                                   canonical=canonical, map_tok=map_tok)
         return st, cr, ex
 
     _, dt = timeit(f"chunk x{chunk} world-only", chunk_world, state, crit, n=5)
