@@ -397,16 +397,21 @@ def map_from_routes(
         all_lanes.extend(lanes)
         all_keys.append(keys)
 
+    if pad_lanes_to is not None and len(all_lanes) > pad_lanes_to:
+        # a junction-heavy batch can exceed the caller's fixed pad: grow to
+        # the next 128 multiple instead of asserting (callers that want a
+        # stable compiled shape should carry the grown pad forward)
+        pad_lanes_to = -(-len(all_lanes) // 128) * 128
     tmap = build_tensor_map(
         all_lanes, pad_lanes_to=pad_lanes_to,
         grid_shape=GRID_SHAPE, raster_shape=RASTER_SHAPE,
     )
+    # host-side (road_id, lane_id) -> lane index; all_lanes order IS the
+    # tensor-map lane order, so no device read-back is needed (np.asarray on
+    # the fresh jnp arrays forced a ~19 s blocking sync through the tunnel)
     key_to_idx = {
-        (int(r), int(l)): i
-        for i, (r, l) in enumerate(
-            zip(np.asarray(tmap.road_id), np.asarray(tmap.lane_id))
-        )
-        if int(r) >= 0
+        (int(l["road_id"]), int(l["lane_id"])): i
+        for i, l in enumerate(all_lanes)
     }
     lane_paths = [
         [key_to_idx[k] for k in keys if k in key_to_idx] for keys in all_keys
@@ -564,12 +569,12 @@ def shared_map_from_routes(
     if pad_lanes_to is None:
         pad_lanes_to = max(256, -(-len(all_lanes) // 128) * 128)
     tmap = build_tensor_map(all_lanes, pad_lanes_to=pad_lanes_to)
+    # host-side (road_id, lane_id) -> lane index; all_lanes order IS the
+    # tensor-map lane order, so no device read-back is needed (np.asarray on
+    # the fresh jnp arrays forced a ~19 s blocking sync through the tunnel)
     key_to_idx = {
-        (int(r), int(l)): i
-        for i, (r, l) in enumerate(
-            zip(np.asarray(tmap.road_id), np.asarray(tmap.lane_id))
-        )
-        if int(r) >= 0
+        (int(l["road_id"]), int(l["lane_id"])): i
+        for i, l in enumerate(all_lanes)
     }
     lane_paths = [
         [key_to_idx[k] for k in keys if k in key_to_idx] for keys in all_keys

@@ -97,13 +97,21 @@ FUSED_CHUNK = 20  # ticks per fused device program
 
 def run_episode_fused(
     env, ego, cbv, state, crit, spec, max_ticks, train=False,
-    chunk=FUSED_CHUNK,
+    chunk=FUSED_CHUNK, fit_hook=None,
 ):
     """Fused tick loop: policy-act + env-step scanned `chunk` ticks per
     device dispatch (rollout.rollout_chunk) — the CLI reaches the same
     throughput as bench.py instead of paying a host round-trip per tick.
     Usable whenever no per-tick host callback is needed (no --render /
-    collect) and the ego is in FUSED_EGO_KIND."""
+    collect) and the ego is in FUSED_EGO_KIND.
+
+    `fit_hook` (train mode): called after any chunk that fills the
+    policy's buffer — the reference fine-tunes on EVERY buffer-full
+    event (rlft_pluto.py:206-247), and at many scenarios per device a
+    single episode fills the 4096-sample buffer several times over;
+    without the hook the ring buffer wraps and that experience is lost.
+    Subsequent chunks roll out with the just-updated cbv.params, so the
+    collect->fit->collect alternation happens inside one episode."""
     from .rollout import rollout_chunk
 
     ego_kind = FUSED_EGO_KIND[ego.name]
@@ -135,6 +143,8 @@ def run_episode_fused(
         )
         if store is not None and extras is not None:
             store(extras)
+            if fit_hook is not None and cbv.buffer_full():
+                fit_hook()
         if env.all_done(crit):
             break
     return state, crit
@@ -440,6 +450,7 @@ def main(argv=None):
     loader = None
     shared_paths = None  # config-index -> lane path on the shared town
     cfg_route_idx: dict[int, int] = {}
+    route_pad = [PAD_ROUTE_LANES]  # grows if a batch needs more lanes
     if tmap is None:
         from .map.from_route import map_from_routes, shared_map_from_routes
         from .scenario.routes import EvalDataLoader, TrainDataLoader
@@ -462,6 +473,10 @@ def main(argv=None):
                 num_lanes=2, pad_lanes_to=PAD_ROUTE_LANES,
                 stop_ratio=args.stop_ratio,
             )
+            # map_from_routes grows the pad for junction-heavy batches;
+            # carry the grown value forward so episode maps keep ONE
+            # compiled shape for the whole run
+            route_pad[0] = max(route_pad[0], len(tmap.road_id))
 
     # auto defaults: eval ships with the full criteria surface on
     num_walkers = args.num_walkers
@@ -572,9 +587,10 @@ def main(argv=None):
         else:
             new_tmap, lane_paths = map_from_routes(
                 [c.keypoints for c in batch[: args.num_scenario]],
-                num_lanes=2, pad_lanes_to=PAD_ROUTE_LANES,
+                num_lanes=2, pad_lanes_to=route_pad[0],
                 stop_ratio=args.stop_ratio,
             )
+            route_pad[0] = max(route_pad[0], len(new_tmap.road_id))
             env.tmap = new_tmap
             for pol in (ego, cbv):
                 if hasattr(pol, "tmap"):
@@ -665,16 +681,30 @@ def main(argv=None):
             )
         elif can_fuse:
             pre_size = _buf_size(cbv) if train_cbv_mode else 0
+            fit_losses: list = []
+            fit_hook = None
+            if train_cbv_mode and hasattr(cbv, "buffer_full"):
+                def fit_hook():
+                    fit_losses.extend(cbv.train_round())
             state, crit = run_episode_fused(
                 env, ego, cbv, state, crit, spec, args.max_ticks,
-                train=train_cbv_mode,
+                train=train_cbv_mode, fit_hook=fit_hook,
             )
-            if train_cbv_mode:
-                empty_streak = _check_new_samples(cbv, pre_size, ep, empty_streak)
             if train_cbv_mode and hasattr(cbv, "buffer_full") and cbv.buffer_full():
-                losses = cbv.train_round()
-                ep_losses = losses
-                print(f"episode {ep}: fine-tune losses {losses}")
+                fit_losses.extend(cbv.train_round())
+            if train_cbv_mode:
+                # a mid-episode fit proves samples were collected even
+                # though the buffer was reset afterwards
+                empty_streak = 0 if fit_losses else _check_new_samples(
+                    cbv, pre_size, ep, empty_streak
+                )
+            if fit_losses:
+                ep_losses = fit_losses
+                rounds = getattr(cbv, "train_rounds", "?")
+                print(
+                    f"episode {ep}: fine-tune losses {fit_losses[:4]}... "
+                    f"({len(fit_losses)} this episode, {rounds} rounds total)"
+                )
                 if hasattr(cbv, "save"):
                     cbv.save(ckpt, ep)
         else:

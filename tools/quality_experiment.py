@@ -72,6 +72,17 @@ def main():
                    help="tiny shapes / 1 seed / 2 methods — CI sanity")
     p.add_argument("--num_scenario", type=int, default=5)
     p.add_argument("--num_agents", type=int, default=16)
+    p.add_argument("--train_scenarios", type=int, default=24,
+                   help="scenario count for the fine-tune stage only: more "
+                        "parallel scenarios -> more buffer-fill fit rounds "
+                        "per episode (the compounding the reference gets "
+                        "from its 220-route training set)")
+    p.add_argument("--cl_lr_decay", type=float, default=0.98,
+                   help="per-fit-round closed-loop lr decay for stage 2. "
+                        "The reference's 0.9 assumes ~1 fit/episode; at "
+                        "train_scenarios=24 an episode fits ~6x more often, "
+                        "so the decay is softened to keep the same decay "
+                        "per collected experience")
     p.add_argument("--pretrain_episodes", type=int, default=16)
     p.add_argument("--finetune_episodes", type=int, default=10)
     p.add_argument("--train_ticks", type=int, default=300)
@@ -85,6 +96,7 @@ def main():
     seeds = [int(s) for s in args.seeds.split(",") if s != ""]
     if args.smoke:
         args.num_scenario, args.num_agents = 2, 8
+        args.train_scenarios = 2
         args.pretrain_episodes = args.finetune_episodes = 1
         args.train_ticks, args.eval_ticks, args.eval_episodes = 40, 40, 1
         methods, seeds = ["rift_pluto"], [0]
@@ -120,6 +132,15 @@ def main():
         if os.path.exists(out_npz):
             print(f"stage 2: reusing {out_npz}")
             continue
+        ft_common = [
+            "--routes", args.routes,
+            "--num_scenario", str(max(args.train_scenarios, args.num_scenario)),
+            "--num_agents", str(args.num_agents),
+            # one persistent town for the whole fine-tune: kills the
+            # ~2-min-per-episode batch-map rebuild (the reference likewise
+            # keeps one CARLA town loaded across episodes)
+            "--shared_town",
+        ]
         run_cli([
             "--mode", "train_cbv", "--ego_cfg", "pdm_lite", "--cbv_cfg", m,
             "--num_episodes", str(args.finetune_episodes),
@@ -127,7 +148,8 @@ def main():
             "--out_dir", os.path.join(args.out, "train"),
             "--pretrain", pretrain,
             "--save_pretrain", out_npz,
-            *common,
+            *ft_common,
+            f"train.cl_lr_decay={args.cl_lr_decay}",
         ])
 
     # ---------------- stage 3: eval matrix ---------------------------------
