@@ -144,6 +144,40 @@ def _cached_train_step(loss_fn: Callable, params: Any, cfg: TrainConfig):
     return _STEP_CACHE[key]
 
 
+def _cached_fit_scan(loss_fn: Callable, params: Any, cfg: TrainConfig):
+    """One jitted program for a WHOLE fine-tune round: lax.scan over all
+    epochs*steps (gather + step inside). The per-step python loop queued
+    ~256 tiny dependent dispatches per round, which stalls the tunneled
+    TPU 3-10x (docs/PERF.md 'measurement discipline' #1); this issues ONE
+    dispatch per round and syncs once."""
+    key = (
+        id(getattr(loss_fn, "__self__", loss_fn)),
+        getattr(loss_fn, "__func__", loss_fn),
+        cfg,
+        "scan",
+    )
+    if key not in _STEP_CACHE:
+        tx, mask = make_optimizer(params, cfg)
+        step = make_train_step(loss_fn, tx, mask=mask)
+
+        @jax.jit
+        def fit_scan(params, opt_state, data, idx_all, lrs, rngs):
+            def body(carry, x):
+                p, o = carry
+                idx, lr, rng = x
+                batch = jax.tree.map(lambda v: v[idx], data)
+                p, o, loss = step(p, o, batch, rng, lr)
+                return (p, o), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (idx_all, lrs, rngs)
+            )
+            return params, losses
+
+        _STEP_CACHE[key] = (tx, fit_scan)
+    return _STEP_CACHE[key]
+
+
 def fit(
     params: Any,
     buf: RingBuffer,
@@ -173,7 +207,10 @@ def fit(
             "lazy BV pool)"
         )
     steps_per_epoch = max(size // cfg.batch_size, 1)
-    tx, train_step = _cached_train_step(loss_fn, params, cfg)
+    if mesh is None:
+        tx, _ = _cached_fit_scan(loss_fn, params, cfg)
+    else:
+        tx, train_step = _cached_train_step(loss_fn, params, cfg)
     opt_state = tx.init(params)  # fresh optimizer state per round, as the
     # reference's per-round Lightning engine does (training_builder.py:160)
     # per-round closed-loop lr decay + per-step warmup-cosine, evaluated on
@@ -195,6 +232,27 @@ def fit(
         from ..parallel import replicate, shard_batch
 
         opt_state = replicate(opt_state, mesh)
+
+    if mesh is None:
+        # single-device: the whole round is ONE device program (see
+        # _cached_fit_scan — the per-step loop stalls the tunnel)
+        _, fit_scan = _cached_fit_scan(loss_fn, params, cfg)
+        idx_all = []
+        for _ in range(cfg.epochs):
+            rng, krng = jax.random.split(rng)
+            idx_all.append(
+                sample_batches(buf, krng, cfg.batch_size, steps_per_epoch)
+            )
+        idx_all = jnp.concatenate(idx_all, 0)  # [total, B]
+        lrs = jnp.asarray([schedule(i) for i in range(total)], jnp.float32)
+        rngs = jax.random.split(rng, total)
+        params, losses = fit_scan(
+            params, opt_state, buf.data, idx_all, lrs, rngs
+        )
+        import numpy as np
+
+        losses = np.asarray(losses).reshape(cfg.epochs, steps_per_epoch)
+        return params, [float(x) for x in losses.mean(-1)]
 
     epoch_losses = []
     step_i = 0

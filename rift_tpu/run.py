@@ -27,6 +27,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -633,9 +634,23 @@ def main(argv=None):
     )
 
     empty_streak = 0
+    # RIFT_TPU_TIMING=1: per-episode phase breakdown (reset/rollout/fit/
+    # save/stats) for diagnosing tunnel-stall regressions
+    timing = os.environ.get("RIFT_TPU_TIMING", "") == "1"
+    t_phase = {"reset": 0.0, "rollout": 0.0, "fit": 0.0, "save": 0.0,
+               "stats": 0.0}
+    _t = [time.perf_counter()]
+
+    def _mark(phase):
+        now = time.perf_counter()
+        t_phase[phase] += now - _t[0]
+        _t[0] = now
+
     for ep in range(start_ep, args.num_episodes):
         ep_losses = []
+        _mark("stats")
         state, crit, spec, batch_cfgs = reset_env(ep)
+        _mark("reset")
         if (
             args.pretrain
             and hasattr(cbv, "load_pretrain")
@@ -683,15 +698,23 @@ def main(argv=None):
             pre_size = _buf_size(cbv) if train_cbv_mode else 0
             fit_losses: list = []
             fit_hook = None
+            ep_fit_t = [0.0]
             if train_cbv_mode and hasattr(cbv, "buffer_full"):
                 def fit_hook():
+                    t0 = time.perf_counter()
                     fit_losses.extend(cbv.train_round())
+                    ep_fit_t[0] += time.perf_counter() - t0
             state, crit = run_episode_fused(
                 env, ego, cbv, state, crit, spec, args.max_ticks,
                 train=train_cbv_mode, fit_hook=fit_hook,
             )
             if train_cbv_mode and hasattr(cbv, "buffer_full") and cbv.buffer_full():
+                t0 = time.perf_counter()
                 fit_losses.extend(cbv.train_round())
+                ep_fit_t[0] += time.perf_counter() - t0
+            _mark("rollout")
+            t_phase["rollout"] -= ep_fit_t[0]
+            t_phase["fit"] += ep_fit_t[0]
             if train_cbv_mode:
                 # a mid-episode fit proves samples were collected even
                 # though the buffer was reset afterwards
@@ -707,6 +730,7 @@ def main(argv=None):
                 )
                 if hasattr(cbv, "save"):
                     cbv.save(ckpt, ep)
+                    _mark("save")
         else:
             on_tick = None
             recorder = None
@@ -785,6 +809,12 @@ def main(argv=None):
             step=ep,
         )
         print(f"episode {ep}: DS={ds:.1f}")
+        if timing:
+            _mark("stats")
+            print("  timing " + " ".join(
+                f"{k}={v:.1f}s" for k, v in t_phase.items()))
+            for k in t_phase:
+                t_phase[k] = 0.0
 
     if collect_buffer is not None:
         path = collect_buffer.save()
