@@ -8,7 +8,6 @@ otherwise the ring buffer wraps and the experience is silently lost.
 """
 
 import jax.numpy as jnp
-import pytest
 
 from rift_tpu.map import make_straight_town
 from rift_tpu.policies import CBV_POLICY_LIST
@@ -20,7 +19,8 @@ class _PdmEgoStub:
     name = "pdm_lite"
 
 
-pytestmark = pytest.mark.quick
+# not in the quick tier: the rollout_chunk + fit compiles alone take
+# ~5 min warm, which would blow the sub-10-minute quick budget
 
 
 def test_fit_hook_fires_on_every_buffer_fill():
