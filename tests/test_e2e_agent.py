@@ -43,13 +43,16 @@ def test_camera_sees_vehicle_ahead(scene):
     from rift_tpu.ego.sensors import CH_VEHICLE, render_cameras
 
     tm, env, state, crit, spec = scene
-    # plant a vehicle 10 m dead ahead of ego 0
+    # plant a vehicle 10 m dead ahead of ego 0 and deaden every other
+    # agent: the spawn layout is seed-dependent, and a background vehicle
+    # behind the ego legitimately appears in the back camera
     ego_pos, h = state.pos[0, 0], state.heading[0, 0]
     ahead = ego_pos + 10.0 * jnp.asarray([jnp.cos(h), jnp.sin(h)])
+    only01 = jnp.zeros_like(state.alive[0]).at[:2].set(True)
     st = state.replace(
         pos=state.pos.at[0, 1].set(ahead),
         heading=state.heading.at[0, 1].set(h),
-        alive=state.alive.at[0, 1].set(True),
+        alive=state.alive.at[0].set(only01),
         agent_class=state.agent_class.at[0, 1].set(0),
         shape=state.shape.at[0, 1].set(jnp.asarray([2.0, 4.5])),
     )
