@@ -34,7 +34,12 @@ TEACHER_HORIZON_S = 4.0  # teacher pose lookahead (evaluator's 40 frames)
 TEACHER_NUM_FRAMES = 80  # full candidate horizon (8 s at 10 fps)
 TEACHER_HORIZON_STEP = 39  # frame 40 = 4 s (waypoint i is frame i+1)
 # BC supervision frames: every 8th of the 80-step candidate horizon
-BC_FRAME_IDX = tuple(range(7, 80, 8))
+# BC regression anchors EVERY frame. The tracker's aim point and desired
+# speed resample the raw candidate (pid_controller.py:57-76); r3 anchored
+# only every 8th frame, which left the in-between frames free to collapse
+# toward the origin — the zigzag inflated mean-segment desired speed (25
+# m/s overshoot) after it had first produced the 0.4 m/s crawl.
+BC_FRAME_IDX = tuple(range(80))
 
 
 def select_trajectory(out: dict, topk: int = TOPK):
@@ -112,7 +117,10 @@ def canonical_map_tokens(model: Any, params: Any, tmap: TensorMap):
 
 @partial(
     jax.jit,
-    static_argnames=("model", "max_cbvs", "train", "topk", "canonical", "adv_debug"),
+    static_argnames=(
+        "model", "max_cbvs", "train", "topk", "canonical", "adv_debug",
+        "execute_teacher",
+    ),
 )
 def pluto_cbv_act(
     model: Any,
@@ -126,6 +134,7 @@ def pluto_cbv_act(
     canonical: bool = False,
     map_tok: jnp.ndarray | None = None,
     adv_debug: bool = False,  # evaluator reward-component attribution
+    execute_teacher: bool = False,  # BC pretrain: CBVs drive the teacher path
 ):
     """Plan all CBVs of all scenarios.
 
@@ -200,37 +209,58 @@ def pluto_cbv_act(
             if "value" in out
             else jnp.zeros((S, C))
         )
-        # privileged teacher target speed (sft/rs signals: the reference's
-        # AutoPilot IDM target, sft/teacher/autopilot.py; rs_pluto.py:134-137)
-        from ...sim.world import autopilot_target_speed
-
-        v_teacher_all = autopilot_target_speed(tmap, state)  # [S, A]
-        result["teacher_speed"] = jnp.take_along_axis(
-            v_teacher_all, slot, axis=1
-        )
-        # privileged teacher TRAJECTORY: the autopilot's lane-chain follow at
-        # its IDM target speed, in the CBV's local frame — the pose half of
-        # the reference teacher's pose+speed candidate match
-        # (sft_trainer.py:182-215 generate_target_label) and the regression
-        # target for the bootstrap BC pretrain (policies.BCPlutoPolicy)
-        from ...sim.autopilot import lane_follow_waypoints
+        # privileged teacher TRAJECTORY: lane-chain follow with a
+        # kinematically-feasible speed profile from the CBV's current speed
+        # toward the leader/limit/lights-aware STEADY target — the pose+speed
+        # teacher of the reference (sft/teacher/autopilot.py IDM integration;
+        # sft_trainer.py:182-215 generate_target_label) and the regression
+        # target for the bootstrap BC pretrain (policies.BCPlutoPolicy).
+        # The profile must not depend on the student's own slow habits:
+        # a stopped CBV's teacher accelerates to the limit (see
+        # sim/world.autopilot_steady_speed).
+        from ...sim.autopilot import IDM_BRAKE, IDM_MAX_ACCEL, lane_follow_waypoints
+        from ...sim.world import autopilot_steady_speed
 
         scen0 = jnp.arange(S)[:, None]
-        v_t_sl = result["teacher_speed"]  # [S, C]
+        v_steady_all = autopilot_steady_speed(tmap, state)  # [S, A]
+        v_steady = jnp.take_along_axis(v_steady_all, slot, axis=1)  # [S, C]
+        v0 = state.speed[scen0, slot]  # [S, C]
+        t_k = 0.1 * (1.0 + jnp.arange(TEACHER_NUM_FRAMES, dtype=jnp.float32))
+        v_k = jnp.clip(
+            v_steady[..., None],
+            jnp.maximum(v0[..., None] - IDM_BRAKE * t_k, 0.0),
+            v0[..., None] + IDM_MAX_ACCEL * t_k,
+        )  # [S, C, 80] frame speeds
         teacher_wp = lane_follow_waypoints(
             tmap,
             state.lane[scen0, slot],
             state.pos[scen0, slot],
             state.heading[scen0, slot],
             state.bv_branch_bits[scen0, slot],
-            jnp.maximum(v_t_sl * 0.1, 1e-3),
+            jnp.maximum(v_k * 0.1, 1e-3),
             num_points=TEACHER_NUM_FRAMES,
+            n_chain=8,  # the 80-frame horizon spans several short lanes
         )  # [S, C, 80, 2] local frame, point i = frame i+1
+        # teacher label speed over the first second (the window
+        # _candidate_speeds scores candidates on)
+        result["teacher_speed"] = v_k[..., :10].mean(-1)
         result["teacher_pos"] = teacher_wp[..., TEACHER_HORIZON_STEP, :]
-        result["teacher_traj"] = teacher_wp[:, :, jnp.asarray(BC_FRAME_IDX), :]
+        result["teacher_traj"] = teacher_wp  # all 80 frames (BC_FRAME_IDX)
+        if execute_teacher:
+            # expert rollouts (BC pretrain): CBVs EXECUTE the teacher path,
+            # so cloning sees expert-visitation states (the nuPlan-log
+            # equivalent) instead of the student's own crawl states
+            traj = jnp.zeros((S, A, TEACHER_NUM_FRAMES, 2))
+            traj = jax.vmap(
+                lambda t, sl, w, v: t.at[sl].set(
+                    jnp.where(v[:, None, None], w, t[sl])
+                )
+            )(traj, slot, teacher_wp, slot_valid)
+            result["traj"] = traj
         # desired speed implied by the executed trajectory (the PID tracker's
         # desired speed = mean waypoint spacing / dt, pid_controller.py:57-76)
-        step_d = jnp.linalg.norm(jnp.diff(wp_sc[:, :, :10], axis=2), axis=-1)
+        exec_wp = teacher_wp if execute_teacher else wp_sc
+        step_d = jnp.linalg.norm(jnp.diff(exec_wp[:, :, :10], axis=2), axis=-1)
         result["exec_speed"] = step_d.mean(-1) / 0.1
 
         # neighbor gathering stays vmapped (cheap); the heavy evaluator runs

@@ -109,12 +109,15 @@ class PlutoPolicy:
 
         self.params = init_params_on_cpu(self.model.init, k, flat)
 
+    execute_teacher = False  # BC pretrain overrides (expert rollouts)
+
     def act(self, spec, state, train=False):
         self.maybe_init(spec, state)
         return pluto_cbv_act(
             self.model, self.params, self.tmap, spec, state,
             max_cbvs=self.max_cbvs, train=train and self.trainable,
             canonical=self.canonical, map_tok=self.map_tokens(),
+            execute_teacher=self.execute_teacher,
         )
 
     def map_tokens(self):
@@ -401,6 +404,12 @@ class BCPlutoPolicy(_FineTunedPluto):
 
     name = "bc_pluto"
     type = "il"
+    # expert rollouts: during pretrain collection the CBVs EXECUTE the
+    # privileged teacher's trajectory, so cloning sees the expert's state
+    # visitation (the nuPlan-1M-log equivalent) instead of the untrained
+    # student's crawl states — without this, BC chases a moving slow target
+    # and converges to the r3 table's 0.4 m/s crawl equilibrium
+    execute_teacher = True
 
     def __init__(self, tmap, cfg=None, **kw):
         super().__init__(tmap, cfg, **kw)
@@ -415,13 +424,12 @@ class BCPlutoPolicy(_FineTunedPluto):
             )
 
     def _loss_fn(self, params, batch, rng):
-        from .models.pluto.policy import BC_FRAME_IDX
-
         out = self.model.apply(params, batch["features"])
         r_pad = ~batch["features"]["reference_line"]["valid_mask"].any(-1)
         bs, R, M = out["probability"].shape
-        frames = jnp.asarray(BC_FRAME_IDX)
-        cand = out["trajectory"][..., frames, :2]  # [bs, R, M, F, 2]
+        # all 80 frames regressed: sparse anchors let the in-between frames
+        # collapse to the origin and the PID reads the raw candidate
+        cand = out["trajectory"][..., :2]  # [bs, R, M, F, 2]
         tt = batch["teacher_traj"]  # [bs, F, 2]
         ade = jnp.linalg.norm(cand - tt[:, None, None], axis=-1).mean(-1)
         ade = jnp.where(r_pad[:, :, None], jnp.inf, ade)  # [bs, R, M]
@@ -434,7 +442,7 @@ class BCPlutoPolicy(_FineTunedPluto):
         n = jnp.maximum(w.sum(), 1.0)
         reg = jnp.sum(jnp.where(w > 0, wta, 0.0)) / n
         ce = sft_loss(out["probability"], r_pad, target, w > 0)
-        rf = out["output_ref_free_trajectory"][..., frames, :2]  # [bs, F, 2]
+        rf = out["output_ref_free_trajectory"][..., :2]  # [bs, F, 2]
         rf_reg = (
             jnp.sum(jnp.linalg.norm(rf - tt, axis=-1).mean(-1) * w) / n
         )

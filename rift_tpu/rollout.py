@@ -139,7 +139,7 @@ def flush_pending(store_fn, pending: list):
     jax.jit,
     static_argnames=(
         "model", "max_cbvs", "num_steps", "train", "with_policy",
-        "ego", "ego_model", "recog_model", "canonical",
+        "ego", "ego_model", "recog_model", "canonical", "execute_teacher",
     ),
 )
 def rollout_chunk(
@@ -160,6 +160,7 @@ def rollout_chunk(
     recog_params=None,
     canonical: bool = False,  # frame-invariant token mode (policy.canonical)
     map_tok=None,  # precomputed canonical per-lane map tokens [L, D]
+    execute_teacher: bool = False,  # BC pretrain: CBVs drive the teacher path
 ):
     """Advance all scenarios `num_steps` ticks.
 
@@ -201,6 +202,7 @@ def rollout_chunk(
             res = pluto_cbv_act(
                 model, params, tmap, spec, state, max_cbvs=max_cbvs,
                 train=train, canonical=canonical, map_tok=map_tok,
+                execute_teacher=execute_teacher,
             )
             new_state, new_crit = env_step(
                 tmap, spec, state, crit,

@@ -141,6 +141,7 @@ def run_episode_fused(
             canonical=getattr(cbv, "canonical", False),
             map_tok=cbv.map_tokens()
             if hasattr(cbv, "map_tokens") else None,
+            execute_teacher=getattr(cbv, "execute_teacher", False),
         )
         if store is not None and extras is not None:
             store(extras)
@@ -399,6 +400,18 @@ def main(argv=None):
     p.add_argument("--stop_ratio", type=float, default=0.25,
                    help="fraction of route-map junctions converted to "
                         "all-way-stop (stop-sign criteria, penalty 0.8)")
+    p.add_argument("--max_cbvs", type=int, default=-1,
+                   help="max CBVs per scenario. Recognition-level, policy-"
+                        "independent (reference rule.yaml:28 max_agent_num: "
+                        "-1 = auto: 2 in eval, 3 otherwise) — standard mode "
+                        "promotes CBVs too, it just drives them with the "
+                        "autopilot (carla_env.py:180-208)")
+    p.add_argument("--lights", default="green", choices=["green", "cycle"],
+                   help="traffic-light regime. 'green' freezes every light "
+                        "green — the reference's protocol (env_wrapper.py:91 "
+                        "set_all_traffic_light(Green, freeze)), required for "
+                        "its 3-second ActorBlockedTest to make sense; "
+                        "'cycle' runs real phases (sim/traffic_lights.py)")
     p.add_argument("--cbv_recog", default="rule",
                    choices=["rule", "attention"],
                    help="CBV recognition (CBV_RECOGNITION_LIST equivalent): "
@@ -447,7 +460,28 @@ def main(argv=None):
     ego_cfg = apply_overrides(load_config(args.ego_cfg), [])
     cbv_cfg = apply_overrides(load_config(args.cbv_cfg), args.overrides)
 
+    # CBV count is recognition config, not policy config (rule.yaml:28
+    # max_agent_num: train 3 / eval 2); an explicit --max_cbvs or a
+    # max_cbvs=N override wins
+    if args.max_cbvs >= 0:
+        max_cbvs = args.max_cbvs
+    else:
+        max_cbvs = cbv_cfg.get(
+            "max_cbvs", 2 if args.mode == "eval" else 3
+        )
+    cbv_cfg["max_cbvs"] = max_cbvs  # policies size their slot axis from it
+
+    def _apply_lights(tm):
+        """Reference protocol: every light frozen green
+        (env_wrapper.py:91). light_group -1 = unsignalised = always green."""
+        if args.lights == "green" and tm is not None:
+            import jax.numpy as _jnp
+
+            tm = tm.replace(light_group=_jnp.full_like(tm.light_group, -1))
+        return tm
+
     tmap, route_configs = build_map(args)
+    tmap = _apply_lights(tmap)  # None-safe (route towns build below)
     loader = None
     shared_paths = None  # config-index -> lane path on the shared town
     cfg_route_idx: dict[int, int] = {}
@@ -474,6 +508,8 @@ def main(argv=None):
                 num_lanes=2, pad_lanes_to=PAD_ROUTE_LANES,
                 stop_ratio=args.stop_ratio,
             )
+        tmap = _apply_lights(tmap)
+        if not args.shared_town:
             # map_from_routes grows the pad for junction-heavy batches;
             # carry the grown value forward so episode maps keep ONE
             # compiled shape for the whole run
@@ -491,7 +527,7 @@ def main(argv=None):
         tmap,
         num_scenarios=args.num_scenario,
         num_agents=args.num_agents,
-        max_cbvs=cbv_cfg.get("max_cbvs", 3),
+        max_cbvs=max_cbvs,
         seed=args.seed,
         num_walkers=num_walkers,
         num_statics=num_statics,
@@ -591,6 +627,7 @@ def main(argv=None):
                 num_lanes=2, pad_lanes_to=route_pad[0],
                 stop_ratio=args.stop_ratio,
             )
+            new_tmap = _apply_lights(new_tmap)
             route_pad[0] = max(route_pad[0], len(new_tmap.road_id))
             env.tmap = new_tmap
             for pol in (ego, cbv):

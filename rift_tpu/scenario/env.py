@@ -351,16 +351,14 @@ def env_step(
     traj = traj.at[:, 0].set(ego_traj)
     traj_mask = jnp.zeros((S, A), bool).at[:, 0].set(True)
     if cbv_traj is not None:
+        from ..sim.pid import extend_path
+
         Tc = cbv_traj.shape[-2]
         Tm = max(T, Tc)
-
-        def pad_t(x, n):
-            return jnp.concatenate(
-                [x, jnp.repeat(x[..., -1:, :], n - x.shape[-2], axis=-2)], axis=-2
-            ) if x.shape[-2] < n else x
-
-        traj = pad_t(traj, Tm)
-        cbv_traj = pad_t(cbv_traj, Tm)
+        # constant-velocity extrapolation, not repetition: the tracker's
+        # desired speed averages segments over the merged window
+        traj = extend_path(traj, Tm)
+        cbv_traj = extend_path(cbv_traj, Tm)
         traj = jnp.where(cbv_traj_mask[..., None, None], cbv_traj, traj)
         traj_mask |= cbv_traj_mask
 

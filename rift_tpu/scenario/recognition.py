@@ -34,8 +34,13 @@ MAX_EGO_DIST = 60.0  # search_radius (rule.yaml)
 INTERACTION_TOLERANCE = 60.0
 INTERACTION_TOLERANCE_EVAL = 20.0
 MAX_EGO_ROUTE_AHEAD = 80.0  # max_ego_route_len waypoints (rule.yaml:13)
-GOAL_AHEAD = 150.0  # CBV goal distance along its own chain
-# (route_planner.py:162-215 extends the CBV route to >= 150 m)
+GOAL_AHEAD = 400.0  # CBV goal distance along its own chain
+# (route_planner.py:162-215 + rule.yaml:12 max_route_len 400: the CBV
+# route is extended to ~400 m; driving it is what accrues the paper's
+# RP 564-995 m route-progress numbers)
+MIN_GOAL_DIST = 20.0  # don't promote a candidate whose chain ends at its
+# feet: the goal would be reached instantly and churn the slot (the r3
+# quality runs logged 84 promote/demote cycles with 0 m progress)
 RECOG_WARMUP_TICKS = 25  # reference: no recognition before tick 25
 RECOG_INTERVAL = 2  # reference: every 2 ticks (carla_env.py:180-208)
 
@@ -97,6 +102,23 @@ def recognize_cbvs(
     best_mismatch = jnp.min(mismatch, axis=-1)
     best_mismatch = jnp.where(jnp.isfinite(best_mismatch), best_mismatch, jnp.inf)
 
+    # goal: ~GOAL_AHEAD m along the candidate's OWN lane chain (extended
+    # random-road-option CBV route; branch picked by the agent's fork bits)
+    if spec.lane_chains is not None:
+        goal_pos = _chain_goal(tmap, spec, state, GOAL_AHEAD)
+    else:
+        goal_w = jnp.minimum(
+            best_w + jnp.int32(30), spec.ego_route_len[:, None] - 1
+        )
+        goal_pos = jnp.take_along_axis(
+            route, goal_w[..., None].repeat(2, -1), axis=1
+        )
+    # a goal at the candidate's feet (short chain) would be "reached"
+    # instantly -> demote -> re-promote churn with zero progress
+    goal_far = (
+        jnp.linalg.norm(goal_pos - state.pos, axis=-1) > MIN_GOAL_DIST
+    )
+
     dist_ego = jnp.linalg.norm(state.pos - ego_pos[:, None], axis=-1)
     on_road = ~state.offroad
     # only background *vehicles* are promotable (reference candidates come
@@ -109,6 +131,7 @@ def recognize_cbvs(
         & (dist_ego < MAX_EGO_DIST)
         & on_road
         & (best_mismatch < INTERACTION_TOLERANCE)
+        & goal_far
     )
 
     # fill free CBV slots with the closest candidates
@@ -121,17 +144,6 @@ def recognize_cbvs(
 
     new_is_cbv = state.is_cbv | promote
 
-    # goal: ~GOAL_AHEAD m along the candidate's OWN lane chain (extended
-    # random-road-option CBV route; branch picked by the agent's fork bits)
-    if spec.lane_chains is not None:
-        goal_pos = _chain_goal(tmap, spec, state, GOAL_AHEAD)
-    else:
-        goal_w = jnp.minimum(
-            best_w + jnp.int32(30), spec.ego_route_len[:, None] - 1
-        )
-        goal_pos = jnp.take_along_axis(
-            route, goal_w[..., None].repeat(2, -1), axis=1
-        )
     goal = jnp.where(promote[..., None], goal_pos, state.goal)
     goal_valid = jnp.where(promote, True, state.goal_valid)
     interaction = jnp.where(promote, best_w, -1)

@@ -132,30 +132,35 @@ def lane_follow_waypoints(
     pos: jnp.ndarray,  # [..., 2]
     heading: jnp.ndarray,  # [...]
     branch_bits: jnp.ndarray,  # [...] uint32
-    spacing: jnp.ndarray,  # [...] waypoint spacing (m) — encodes target speed
+    spacing: jnp.ndarray,  # [...] or [..., N] waypoint spacing (m)
     num_points: int = LOOKAHEAD_WAYPOINTS,
+    n_chain: int = CHAIN_LANES,
 ) -> jnp.ndarray:
     """Local-frame waypoints along the agent's lane chain -> [..., N, 2].
 
     The tracker derives desired speed from waypoint spacing
     (pid.track_step), so `spacing = v_target * dt` makes the PID chase the
-    IDM speed while pure-pursuit steering follows the lane.
+    IDM speed while pure-pursuit steering follows the lane. A per-point
+    spacing [..., N] encodes a SPEED PROFILE (e.g. the privileged teacher's
+    accelerate-to-target trajectory, sft/teacher/autopilot.py IDM
+    integration) — point k sits sum(spacing[..k]) meters along the chain.
     """
     # closed form (no jnp.interp): lane centerline vertices are
     # arclength-uniform per lane, so a chain arclength maps to (lane j,
     # fractional vertex) with cumulative-lane-length bucketing — the same
     # trick as map/reference_lines.py. ~4x cheaper per tick at [S, A].
-    chain = chain_lanes_free(tmap, lane, branch_bits)  # [..., C]
+    chain = chain_lanes_free(tmap, lane, branch_bits, n_lanes=n_chain)
     ch = jnp.maximum(chain, 0)
     lens = tmap.length[ch] * (chain >= 0)  # [..., C]
     cum = jnp.concatenate(
         [jnp.zeros_like(lens[..., :1]), jnp.cumsum(lens, axis=-1)], axis=-1
     )  # [..., C+1]
     s0, _, _ = tmap.project(jnp.maximum(lane, 0), pos)  # [...]
-    targets = (
-        s0[..., None]
-        + (1.0 + jnp.arange(num_points, dtype=jnp.float32)) * spacing[..., None]
-    )  # [..., N]
+    if spacing.ndim == pos.ndim - 1:  # scalar spacing per agent
+        spacing = jnp.broadcast_to(
+            spacing[..., None], spacing.shape + (num_points,)
+        )
+    targets = s0[..., None] + jnp.cumsum(spacing, axis=-1)  # [..., N]
     # clamp to the chain end so the path terminates at the last vertex
     targets = jnp.minimum(targets, cum[..., -1:])
     j = jnp.clip(

@@ -27,10 +27,14 @@ PID_WINDOW = 20
 SPEED_KP, SPEED_KI, SPEED_KD = 5.0, 0.5, 1.0
 TURN_KP, TURN_KI, TURN_KD = 1.25, 0.75, 0.3
 
-MAX_THROTTLE = 0.75
+# reference CBV PID constructor defaults (pid_controller.py:40:
+# max_throttle=1.0, clip_delta=1.0 — pluto.py:47 instantiates with
+# sample_interval only). clip_delta saturates Kp=5 past ~0.2 anyway; the
+# throttle ceiling is what lets candidates accelerate at full authority.
+MAX_THROTTLE = 1.0
 BRAKE_SPEED = 0.4
 BRAKE_RATIO = 1.1
-CLIP_DELTA = 0.25
+CLIP_DELTA = 1.0
 AIM_ALPHA, AIM_BETA = 0.5, 2.5
 MIN_AIM_DIS, MAX_AIM_DIS = 5.0, 8.0
 
@@ -123,6 +127,27 @@ def densify_local_waypoints(
     p0 = knots[..., idx, :]
     p1 = knots[..., idx + 1, :]
     return p0 + frac[..., None] * (p1 - p0)
+
+
+def extend_path(wp: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Pad [..., T, 2] waypoints to n points by extrapolating the last
+    segment (constant-velocity continuation). The tracker derives desired
+    speed from mean segment length over the FULL window (the reference PID
+    resamples the whole 80-frame candidate, pid_controller.py:57-76) —
+    padding by repetition would deflate it; a genuinely stationary tail
+    (stop command) extrapolates to more stationary points, preserving the
+    brake semantics."""
+    T = wp.shape[-2]
+    if T >= n:
+        return wp[..., :n, :]
+    if T < 2:
+        return jnp.concatenate(
+            [wp] + [wp[..., -1:, :]] * (n - T), axis=-2
+        )
+    delta = wp[..., -1:, :] - wp[..., -2:-1, :]
+    k = jnp.arange(1, n - T + 1, dtype=wp.dtype)[:, None]
+    ext = wp[..., -1:, :] + delta * k
+    return jnp.concatenate([wp, ext], axis=-2)
 
 
 def track_step(

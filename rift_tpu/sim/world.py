@@ -31,7 +31,7 @@ from .autopilot import (
     lane_follow_waypoints,
 )
 from .dynamics import bicycle_step
-from .pid import track_step
+from .pid import extend_path, track_step
 from .state import CLASS_STATIC, CLASS_WALKER, ScenarioSpec, SimState
 from .stop_signs import stop_target_speed, stop_zone_info, update_stop_memory
 from .traffic_lights import ego_red_light_entry, red_ahead
@@ -59,6 +59,40 @@ def autopilot_target_speed(
     must_stop, _ = red_ahead(tmap, state.lane, state.pos, state.tick)
     v_target = jnp.where(must_stop, 0.0, v_target)
     # stop signs: creep to the line, halt once, then proceed
+    return stop_target_speed(
+        tmap, state.lane, state.pos, state.stopped_at_stop, v_target
+    )
+
+
+def autopilot_steady_speed(
+    tmap: TensorMap, state: SimState
+) -> jnp.ndarray:
+    """Privileged DESIRED speed per agent [S, A]: what a competent driver
+    settles at given the current leader gap, speed limit, lights and stop
+    signs — the teacher's v_target (the reference teacher integrates IDM
+    toward this target over its horizon, sft/teacher/autopilot.py:375-440).
+
+    Unlike `autopilot_target_speed` (one-second IDM integration from the
+    agent's CURRENT speed), this is independent of own speed: a stopped
+    agent's teacher says "accelerate to the limit", not "stay stopped" —
+    without that, bootstrap behavior cloning collapses into a crawl
+    equilibrium (the r3 quality table's 0.4 m/s CBVs)."""
+    from .autopilot import IDM_BRAKE, IDM_MIN_GAP
+
+    leaders = find_leaders(
+        state.pos, state.heading, state.speed, state.shape, state.alive
+    )
+    v_limit = tmap.speed_limit[state.lane] * TM_SPEED_FACTOR
+    # safe approach speed toward the leader (comfortable-brake profile):
+    # from gap g, can drive leader.speed + sqrt(2 b (g - s0)) and still
+    # settle behind it
+    slack = jnp.maximum(leaders.gap - IDM_MIN_GAP, 0.0)
+    v_app = leaders.speed + jnp.sqrt(2.0 * IDM_BRAKE * slack)
+    v_target = jnp.where(
+        jnp.isfinite(leaders.gap), jnp.minimum(v_limit, v_app), v_limit
+    )
+    must_stop, _ = red_ahead(tmap, state.lane, state.pos, state.tick)
+    v_target = jnp.where(must_stop, 0.0, v_target)
     return stop_target_speed(
         tmap, state.lane, state.pos, state.stopped_at_stop, v_target
     )
@@ -96,14 +130,14 @@ def step(
     # ------------------------------------------------------------------
     # 1-2. control resolution
     # ------------------------------------------------------------------
+    # the tracker wants the candidate's FULL horizon: the reference PID
+    # resamples all 80 frames for its desired speed (pid_controller.py:57-76)
+    # — a 30-point clip fed it only the low-information early window
     wp = autopilot_waypoints(tmap, state, dt)  # [S, A, N, 2]
     if traj is not None:
-        T = traj.shape[-2]
-        if T < LOOKAHEAD_WAYPOINTS:
-            pad = jnp.repeat(traj[..., -1:, :], LOOKAHEAD_WAYPOINTS - T, axis=-2)
-            traj = jnp.concatenate([traj, pad], axis=-2)
-        else:
-            traj = traj[..., :LOOKAHEAD_WAYPOINTS, :]
+        n = max(traj.shape[-2], LOOKAHEAD_WAYPOINTS)
+        wp = extend_path(wp, n)
+        traj = extend_path(traj, n)
         wp = jnp.where(traj_mask[..., None, None], traj, wp)
 
     action, tracker = track_step(state.tracker, wp, state.speed)

@@ -292,3 +292,100 @@ def test_world_step_jit_stable_shapes():
     st2 = step(tm, spec, st1)
     # same pytree structure (no recompiles on steady state)
     assert jax.tree.structure(st1) == jax.tree.structure(st2)
+
+
+# ------------------------------------------------- r4 teacher/tracker fixes
+def test_extend_path_extrapolates_last_segment():
+    """Padding by constant-velocity extrapolation (the reference PID reads
+    desired speed from mean segment length over the FULL candidate,
+    pid_controller.py:57-76 — repetition-padding deflated it)."""
+    from rift_tpu.sim.pid import extend_path
+
+    wp = jnp.asarray([[1.0, 0.0], [2.0, 0.5], [3.0, 1.0]])[None]
+    out = extend_path(wp, 6)[0]
+    assert out.shape == (6, 2)
+    np.testing.assert_allclose(out[3], [4.0, 1.5], atol=1e-6)
+    np.testing.assert_allclose(out[5], [6.0, 2.5], atol=1e-6)
+    # stationary tail stays stationary (stop command keeps braking)
+    stop = jnp.ones((1, 4, 2)) * 3.0
+    np.testing.assert_allclose(extend_path(stop, 8)[0, -1], [3.0, 3.0])
+    # a 1-point path repeats (no segment to extrapolate)
+    one = jnp.zeros((1, 1, 2))
+    assert extend_path(one, 5).shape == (1, 5, 2)
+    assert bool(jnp.isfinite(extend_path(one, 5)).all())
+
+
+def test_autopilot_steady_speed_independent_of_own_speed():
+    """A stopped agent's teacher target is the (factored) speed limit, not
+    'current speed + 1 s of IDM' — the crawl-equilibrium fix (the r3 BC
+    pretrain chased its own slow states down to 0.4 m/s CBVs)."""
+    from rift_tpu.sim.autopilot import TM_SPEED_FACTOR
+    from rift_tpu.sim.world import autopilot_steady_speed
+
+    tm = make_straight_town(length=400.0, num_lanes=2, pad_lanes_to=16)
+    state = init_sim_state(2, 4)
+    pos = jnp.zeros((2, 4, 2)).at[:, :, 0].set(
+        jnp.asarray([[10.0, 60.0, 120.0, 180.0]] * 2)
+    ).at[:, :, 1].set(-1.75)
+    state = state.replace(
+        pos=pos,
+        alive=jnp.ones((2, 4), bool),
+        lane=jnp.zeros((2, 4), jnp.int32),
+        speed=jnp.zeros((2, 4)),
+    )
+    v = autopilot_steady_speed(tm, state)
+    limit = float(tm.speed_limit[0]) * TM_SPEED_FACTOR
+    # agent 3 has a free road ahead: steady target ~= factored limit
+    assert abs(float(v[0, 3]) - limit) < 1e-3
+    # agent 0 sits 50 m behind stopped agent 1: approach speed positive but
+    # bounded by the comfortable-brake profile, well under the limit... and
+    # a NEAR leader pins it near zero
+    near = state.replace(pos=pos.at[:, 0, 0].set(54.0))
+    v_near = autopilot_steady_speed(tm, near)
+    assert float(v_near[0, 0]) < 0.25 * limit
+
+
+def test_tracker_full_horizon_accelerates_from_stop():
+    """A stopped vehicle fed an accelerate-to-target teacher profile must
+    actually reach cruising speed (r3's 30-frame clip + 0.75 throttle cap
+    kept CBVs at ~1 m/s)."""
+    from rift_tpu.sim.pid import extend_path
+
+    v0, a, v_max, dt = 0.0, 2.5, 10.0, 0.1
+    pos = jnp.zeros(2)
+    heading = jnp.zeros(())
+    speed = jnp.asarray(v0)
+    trk = TrackerState.zeros(())
+    for _ in range(80):
+        # rebuild the teacher profile from the CURRENT speed each tick,
+        # like models/pluto/policy.py does
+        t_k = dt * (1.0 + jnp.arange(80, dtype=jnp.float32))
+        v_k = jnp.clip(v_max, 0.0, speed + a * t_k)
+        s_k = jnp.cumsum(v_k * dt)
+        wp = jnp.stack([s_k, jnp.zeros(80)], -1)  # straight ahead
+        act, trk = track_step(trk, wp, speed)
+        pos, heading, speed = bicycle_step(pos, heading, speed, act, dt)
+    assert float(speed) > 0.8 * v_max, float(speed)
+    assert float(speed) < 1.3 * v_max, float(speed)
+
+
+def test_recognition_skips_near_goal_candidates():
+    """Candidates whose chain goal sits at their feet are not promoted
+    (instant reach-goal would churn the slot, r3's 84-promotion loops)."""
+    from rift_tpu.scenario.recognition import MIN_GOAL_DIST, recognize_cbvs
+    from rift_tpu.scenario.env import TrafficEnv, wake_all_bvs
+
+    tm = make_straight_town(length=400.0, num_lanes=2, pad_lanes_to=16)
+    env = TrafficEnv(tm, num_scenarios=1, num_agents=6, max_cbvs=3, seed=1)
+    state, crit, spec = env.reset()
+    state = wake_all_bvs(state)
+    state = state.replace(tick=state.tick + 30)
+    is_cbv, goal, goal_valid, _, promote = recognize_cbvs(
+        tm, spec, state, max_cbvs=3
+    )
+    promote = np.asarray(promote)
+    if promote.any():
+        gd = np.linalg.norm(
+            np.asarray(goal) - np.asarray(state.pos), axis=-1
+        )[promote]
+        assert (gd > MIN_GOAL_DIST).all(), gd

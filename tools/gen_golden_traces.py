@@ -44,12 +44,13 @@ THROTTLE_POLY = [9.63873001e-01, 4.37535692e-04, -3.80192912e-01,
                  -1.05996152e-03, 6.71079346e-04]
 THROTTLE_MIN = 0.3
 
-# --- tracker constants (sim/pid.py == pid_controller.py w/ rift settings) ----
+# --- tracker constants (sim/pid.py == pid_controller.py:40 CBV defaults:
+# max_throttle=1.0, clip_delta=1.0 — pluto.py:47 passes sample_interval only)
 SAMPLE_INTERVAL = 10
-MAX_THROTTLE = 0.75
+MAX_THROTTLE = 1.0
 BRAKE_SPEED = 0.4
 BRAKE_RATIO = 1.1
-CLIP_DELTA = 0.25
+CLIP_DELTA = 1.0
 AIM_ALPHA, AIM_BETA = 0.5, 2.5
 MIN_AIM, MAX_AIM = 5.0, 8.0
 

@@ -232,13 +232,22 @@ def write_results_md(args, merged, eval_dir):
         "Produced end-to-end on one device "
         f"(`{__import__('jax').default_backend()}` backend) by "
         "`python tools/quality_experiment.py`:",
-        "bootstrap BC-pretrain Pluto against the privileged pose+speed teacher",
-        "(stand-in for the unshipped nuPlan `pluto_1M_aux_cil.ckpt`,",
-        "rift/cbv/planning/pluto/pluto.py:130-137), closed-loop fine-tune every",
-        "RLFT/SFT variant from that pretrain (rlft_pluto.py:206-247), then the",
-        f"eval matrix over the dev10-derived routes x seeds {args.seeds}",
-        "(walkers+statics on, stop junctions at ratio "
-        f"{args.stop_ratio if hasattr(args, 'stop_ratio') else 0.25}).",
+        "bootstrap BC-pretrain Pluto on EXPERT rollouts (CBVs execute the",
+        "privileged accelerate-to-target teacher; stand-in for the unshipped",
+        "nuPlan `pluto_1M_aux_cil.ckpt`, rift/cbv/planning/pluto/pluto.py:130-137),",
+        "closed-loop fine-tune every RLFT/SFT variant from that pretrain",
+        "(rlft_pluto.py:206-247), then the eval matrix over the dev10-derived",
+        f"routes x seeds {args.seeds} (walkers+statics on, stop junctions at",
+        f"ratio {getattr(args, 'stop_ratio', 0.25)}, traffic lights frozen",
+        "green as in the reference protocol, env_wrapper.py:91).",
+        "",
+        "Fine-tune regime: fit on EVERY buffer-full event, mid-episode,",
+        f"with updated params rolling out the rest of the episode",
+        f"(rlft_pluto.py:206-247); closed-loop lr decay {args.cl_lr_decay}",
+        f"per fit round (reference 0.9/episode at ~1 fit/episode,",
+        f"rift_training.yaml cl_lr_decay), {args.finetune_episodes} episodes",
+        f"x {args.train_scenarios} scenarios per method. Eval: max_cbvs 2,",
+        "train: 3 (recognition-level, rule.yaml:28).",
         "Raw per-run `simulation_results.json` files accompany this table.",
         "",
         header, sep, *rows, "",
