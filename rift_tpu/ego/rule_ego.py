@@ -47,6 +47,15 @@ def rule_ego_waypoints(
             tmap, state.lane[:, :1], state.pos[:, :1], state.tick
         )
         v_target = jnp.where(must_stop[:, 0], 0.0, v_target)
+        # junction negotiation: wait for cross traffic in the box before
+        # entering (PDM-Lite gets this from its forecast sweep,
+        # autopilot.py:906-1051; the rule ego uses the TM-style yield)
+        from ..sim.autopilot import yield_target_speed
+
+        v_all = jnp.broadcast_to(
+            v_target[:, None], state.speed.shape
+        )
+        v_target = yield_target_speed(tmap, state, v_all)[:, 0]
         v_target = stop_target_speed(
             tmap, state.lane[:, 0], state.pos[:, 0],
             state.stopped_at_stop[:, 0], v_target,

@@ -99,10 +99,14 @@ def _corridor_lanes(
     speed_limit: float,
     lanes: list[dict],
     keys_out: list[tuple],
+    base_off: float = 0.0,
 ):
     """Append corridor lane dicts for one uninterrupted route section.
     Returns (first_keys, last_keys) per lane offset for junction stitching:
-    lists of the section's first and last (road_id, lane_id) per lane."""
+    lists of the section's first and last (road_id, lane_id) per lane.
+    `base_off` shifts the whole lane group right of the polyline — the
+    reverse carriageway passes its reversed polyline with base_off =
+    lane_width so its lanes sit left of the forward group."""
     vec = np.gradient(pts, axis=0)
     norm = np.maximum(np.linalg.norm(vec, axis=1, keepdims=True), 1e-9)
     d = vec / norm
@@ -114,7 +118,7 @@ def _corridor_lanes(
     first_keys = [None] * num_lanes
     last_keys = [None] * num_lanes
     for li in range(num_lanes):
-        off = li * lane_width
+        off = base_off + li * lane_width
         lane_pts = pts + right * off
         lane_id = -(li + 1)
         for si in range(n_seg):
@@ -158,6 +162,25 @@ def _bezier(p0, d0, p1, d1, n=15):
     )
 
 
+UTURN_SPEED = 5.0  # m/s limit on turnaround connectors (tight radius)
+
+
+def _uturn(p0, d, p1, depth, n=21):
+    """Teardrop turnaround: depart `p0` along `d`, loop around, arrive at
+    `p1` heading `-d`. Both bezier control points sit `depth` m out along
+    `d`, which bulges the curve past the endpoints so the turn radius stays
+    driveable even when p0/p1 are one lane width apart."""
+    c0 = p0 + d * depth
+    c1 = p1 + d * depth
+    t = np.linspace(0, 1, n)[:, None]
+    return (
+        (1 - t) ** 3 * p0
+        + 3 * (1 - t) ** 2 * t * c0
+        + 3 * (1 - t) * t**2 * c1
+        + t**3 * p1
+    )
+
+
 def _route_lanes(
     keypoints: np.ndarray,
     road_base: int,
@@ -189,6 +212,15 @@ def _route_lanes(
     own = _find_corners(pts)
     cut = int(JUNCTION_RADIUS / RESAMPLE_M)
     gap = int(MIN_CORNER_GAP / RESAMPLE_M)
+    if not own and len(pts) > 2 * (cut + 8):
+        # straight route (the Bench2Drive dev routes are short, nearly
+        # straight scenario segments): synthesize through-junctions at
+        # interior points so the route still crosses signalised/stop
+        # intersections with cross traffic, like the real towns it came
+        # from (Town13/Town15 routes pass intersections the corridor
+        # abstraction would otherwise erase)
+        n3 = len(pts) // 3
+        own = [n3, 2 * n3] if len(pts) * RESAMPLE_M > 180 else [len(pts) // 2]
     # corner spec: (idx, group_override or None, arms)
     specs = [(c, None, cross_roads) for c in own]
     margin = cut + 3
@@ -229,6 +261,27 @@ def _route_lanes(
             sec, rid, num_lanes, lane_width, speed_limit, lanes, primary
         )
         section_ends.append((fk, lk))
+        rid += 200
+
+    # reverse carriageway: same sections driven the other way, lanes offset
+    # one width to the left of the forward group. Together with the
+    # turnaround connectors below this closes the lane graph — CARLA towns
+    # are connected road networks, so BV flow circulates and CBV lane
+    # chains never dead-end (nuplan_map_utils.py:46-66 topology; without
+    # this every vehicle eventually parks at the corridor end and the
+    # whole scenario congeals)
+    rev_ends = []
+    _sink: list[tuple] = []
+    for k in range(0, len(bounds) - 1, 2):
+        lo, hi = bounds[k], bounds[k + 1]
+        sec = pts[lo : hi + 1]
+        if len(sec) < 2:
+            sec = pts[lo : lo + 2]
+        fk, lk = _corridor_lanes(
+            sec[::-1], rid, num_lanes, lane_width, speed_limit, lanes,
+            _sink, base_off=lane_width,
+        )
+        rev_ends.append((fk, lk))
         rid += 200
 
     # junctions between consecutive sections
@@ -283,6 +336,36 @@ def _route_lanes(
                 # right after its approach segment
                 primary.insert(primary.index(a) + 1, (conn_rid, lane_id))
 
+        # reverse-carriageway connector through the same junction (opposing
+        # direction shares the forward phase, as opposing straight flows do)
+        for li in range(num_lanes):
+            a, b = rev_ends[j + 1][1][li], rev_ends[j][0][li]
+            if a is None or b is None:
+                continue
+            p0 = np.asarray(table[a]["centerline"])[-1]
+            p1 = np.asarray(table[b]["centerline"])[0]
+            conn_rid = rid
+            rid += 1
+            lane_id = -(li + 1)
+            lanes.append(
+                dict(
+                    centerline=_bezier(p0, -d_out, p1, -d_in),
+                    width=lane_width,
+                    road_id=conn_rid,
+                    lane_id=lane_id,
+                    is_junction=True,
+                    successors=[b],
+                    left_adj=None,
+                    right_adj=None,
+                    speed_limit=speed_limit,
+                    light_group=group,
+                )
+            )
+            table[a].setdefault("successors", []).append((conn_rid, lane_id))
+            if is_stop_junction:
+                table[a]["stop"] = True
+            table[(conn_rid, lane_id)] = lanes[-1]
+
         if not arms:
             continue
         # perpendicular two-way cross road through the corner
@@ -290,6 +373,7 @@ def _route_lanes(
         bis = d_in + d_out
         bis = bis / max(np.linalg.norm(bis), 1e-9)
         perp = np.array([-bis[1], bis[0]])
+        arm_tips = {0: {}, 1: {}}  # side -> li -> (in_key, out_key, a0, b1, dirv)
         for side in (0, 1):  # two directions of the cross road
             dirv = perp if side == 0 else -perp
             rightv = np.array([dirv[1], -dirv[0]])
@@ -356,7 +440,78 @@ def _route_lanes(
                         speed_limit=speed_limit,
                     )
                 )
+                arm_tips[side][li] = (
+                    (rid_in, lane_id), (rid_out, lane_id), a0, b1, dirv
+                )
+        # close the cross road: each out-arm turns around at its tip into
+        # the opposite side's in-arm, so cross traffic circulates through
+        # the junction instead of parking at the arm end
         table = by_key()
+        for side in (0, 1):
+            for li in range(num_lanes):
+                _, out_key, _, b1, dirv = arm_tips[side][li]
+                in_key, _, a0_other, _, _ = arm_tips[1 - side][li]
+                lane_id = -(li + 1)
+                rid_u = rid
+                rid += 1
+                lanes.append(
+                    dict(
+                        centerline=_uturn(
+                            b1, dirv, a0_other, 8.0 + 3.0 * li
+                        ),
+                        width=lane_width,
+                        road_id=rid_u,
+                        lane_id=lane_id,
+                        is_junction=True,
+                        successors=[in_key],
+                        left_adj=None,
+                        right_adj=None,
+                        speed_limit=UTURN_SPEED,
+                    )
+                )
+                table[out_key].setdefault("successors", []).append(
+                    (rid_u, lane_id)
+                )
+                table[(rid_u, lane_id)] = lanes[-1]
+        table = by_key()
+
+    # turnaround loops at both route ends: forward end -> reverse
+    # carriageway -> forward start. With the junction connectors above this
+    # makes the whole tile strongly connected (every lane's chain continues
+    # forever), replacing the reference towns' connected road mesh.
+    h_all = _headings(pts)
+    d_end = np.array([np.cos(h_all[-1]), np.sin(h_all[-1])])
+    d_start = np.array([np.cos(h_all[0]), np.sin(h_all[0])])
+    table = by_key()
+    for li in range(num_lanes):
+        lane_id = -(li + 1)
+        links = [
+            # (approach key, depart dir, arrive key)
+            (section_ends[-1][1][li], d_end, rev_ends[-1][0][li]),
+            (rev_ends[0][1][li], -d_start, section_ends[0][0][li]),
+        ]
+        for a, d, b in links:
+            if a is None or b is None:
+                continue
+            p0 = np.asarray(table[a]["centerline"])[-1]
+            p1 = np.asarray(table[b]["centerline"])[0]
+            rid_u = rid
+            rid += 1
+            lanes.append(
+                dict(
+                    centerline=_uturn(p0, d, p1, 9.0 + 3.0 * li),
+                    width=lane_width,
+                    road_id=rid_u,
+                    lane_id=lane_id,
+                    is_junction=True,
+                    successors=[b],
+                    left_adj=None,
+                    right_adj=None,
+                    speed_limit=UTURN_SPEED,
+                )
+            )
+            table[a].setdefault("successors", []).append((rid_u, lane_id))
+            table[(rid_u, lane_id)] = lanes[-1]
 
     return lanes, primary, n_auto
 

@@ -131,6 +131,18 @@ def route_distance_field(tmap: TensorMap, lane_path: list[int], max_dist: float 
                 D[p] = nd
                 J[p] = J[u]
                 heapq.heappush(pq, (nd, p))
+        # lane-change edges: a vehicle on a lane ADJACENT to u can merge
+        # into u (the reference's interaction matching runs A* over a
+        # topology graph that includes adjacent-lane edges,
+        # global_route_planner.py:159+ / base_cbv.py:66-192 — without
+        # these, candidates on the parallel lane are never route-reachable)
+        for a in (int(left[u]), int(right[u])):
+            if a >= 0 and valid[a]:
+                nd = d + LANE_CHANGE_COST
+                if nd < D[a]:
+                    D[a] = nd
+                    J[a] = J[u]
+                    heapq.heappush(pq, (nd, a))
     return D.astype(np.float32), J.astype(np.float32)
 
 

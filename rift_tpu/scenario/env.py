@@ -180,6 +180,23 @@ def spawn_agents(
     n_walkers = min(num_walkers, n_special)
     n_statics = n_special - n_walkers
 
+    flat_all = centerline[valid_lanes].reshape(-1, 2)
+
+    def _curb_lat(wp, side, margin):
+        """Lateral offset `margin` m past the outermost lane edge on `side`
+        of the route waypoint (+1 = left of route heading). The road is two
+        carriageways wide now, so a fixed 4-7 m offset would sit INSIDE the
+        oncoming lanes."""
+        rel = flat_all - wp[:2]
+        near = np.linalg.norm(rel, axis=1) < 15.0
+        if not near.any():
+            return (4.0 + margin) * side
+        lat = -np.sin(wp[2]) * rel[near, 0] + np.cos(wp[2]) * rel[near, 1]
+        half_w = 0.5 * 3.5
+        if side > 0:
+            return float(lat.max()) + half_w + margin
+        return float(lat.min()) - half_w - margin
+
     for s in range(S):
         n = int(route_len[s])
         start = ego_route[s, 0]
@@ -195,7 +212,9 @@ def spawn_agents(
             wi = int(rng.integers(max(n // 4, 1), max(n - 10, 2)))
             wp = ego_route[s, wi]
             perp = wp[2] + np.pi / 2
-            lat = float(rng.uniform(4.0, 7.0)) * rng.choice([-1.0, 1.0])
+            lat = _curb_lat(
+                wp, float(rng.choice([-1.0, 1.0])), float(rng.uniform(1.0, 3.0))
+            )
             pos[s, slot] = wp[:2] + lat * np.array(
                 [np.cos(perp), np.sin(perp)], np.float32
             )
@@ -221,7 +240,10 @@ def spawn_agents(
             wi = int(rng.integers(max(n // 3, 1), max(n - 10, 2)))
             wp = ego_route[s, wi]
             perp = wp[2] + np.pi / 2
-            lat = 2.2 * float(rng.choice([-1.0, 1.0]))
+            # ego-side lane edge only (construction blocking the route,
+            # ParkedObstacle semantics) — the +side is the oncoming
+            # carriageway now, where a static would dam the reverse flow
+            lat = -2.2
             pos[s, slot] = wp[:2] + lat * np.array(
                 [np.cos(perp), np.sin(perp)], np.float32
             )
@@ -232,15 +254,17 @@ def spawn_agents(
             placed.append(pos[s, slot])
             slot += 1
 
-        # candidate spawn points: lane centerline vertices within 100 m of a
-        # random subset of route waypoints
+        # candidate spawn points: lane centerline vertices within 50 m of a
+        # random subset of route waypoints (spawn_radius 50,
+        # recognition/config/rule.yaml:14 — with the closed network BVs
+        # then CIRCULATE near the corridor instead of draining away)
         wp_sel = ego_route[s, rng.integers(0, max(n, 1), size=64), :2]
         flat = centerline[valid_lanes].reshape(-1, 2)
         flat_h = headings_l[valid_lanes].reshape(-1)
         d = np.linalg.norm(
             flat[None, :, :] - wp_sel[:, None, :], axis=-1
         ).min(0)
-        cand = np.flatnonzero(d < 100.0)
+        cand = np.flatnonzero(d < 50.0)
         rng.shuffle(cand)
         n_veh = A - 1 - n_special
         n_bv = min(n_veh, int(traffic_intensity * n_veh) + 1)

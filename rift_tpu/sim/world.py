@@ -29,6 +29,7 @@ from .autopilot import (
     find_leaders,
     idm_target_speed,
     lane_follow_waypoints,
+    yield_target_speed,
 )
 from .dynamics import bicycle_step
 from .pid import extend_path, track_step
@@ -58,6 +59,9 @@ def autopilot_target_speed(
     # stop for red lights at the approach stop line
     must_stop, _ = red_ahead(tmap, state.lane, state.pos, state.tick)
     v_target = jnp.where(must_stop, 0.0, v_target)
+    # junction negotiation (TrafficManager stand-in): wait for cross
+    # traffic / walkers occupying the junction box before entering
+    v_target = yield_target_speed(tmap, state, v_target)
     # stop signs: creep to the line, halt once, then proceed
     return stop_target_speed(
         tmap, state.lane, state.pos, state.stopped_at_stop, v_target
@@ -93,6 +97,7 @@ def autopilot_steady_speed(
     )
     must_stop, _ = red_ahead(tmap, state.lane, state.pos, state.tick)
     v_target = jnp.where(must_stop, 0.0, v_target)
+    v_target = yield_target_speed(tmap, state, v_target)
     return stop_target_speed(
         tmap, state.lane, state.pos, state.stopped_at_stop, v_target
     )

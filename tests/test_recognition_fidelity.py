@@ -32,14 +32,21 @@ def test_route_distance_field_straight():
 
 
 def test_route_distance_matches_dijkstra_on_grid():
-    """D[l] must equal the Dijkstra successor-graph distance from lane l to
-    the nearest route lane (no lane-change edges in the field)."""
+    """D[l] must equal the Dijkstra distance from lane l to the nearest
+    route lane over the successor graph PLUS adjacent-lane merge edges
+    (LANE_CHANGE_COST each — the reference's interaction-matching A* runs
+    on a topology graph with lane-change edges,
+    global_route_planner.py:159+)."""
+    from rift_tpu.map.routing import LANE_CHANGE_COST
+
     tm = make_grid_town(blocks=2)
     env = TrafficEnv(tm, num_scenarios=1, num_agents=2, seed=1)
     state, crit, spec = env.reset()
     D = np.asarray(spec.lane_route_dist[0])
     lengths = np.asarray(tm.length)
     succ = np.asarray(tm.successors)
+    left = np.asarray(tm.left_adj)
+    right = np.asarray(tm.right_adj)
     valid = np.asarray(tm.valid)
     path = [i for i in range(len(D)) if D[i] == 0.0 and valid[i]]
     assert path
@@ -59,13 +66,15 @@ def test_route_distance_matches_dijkstra_on_grid():
             if D[u] == 0.0:
                 best = min(best, d)
                 continue
-            for v in succ[u]:
-                if v < 0:
-                    continue
-                nd = d + lengths[u]
-                if nd < dist.get(int(v), np.inf):
-                    dist[int(v)] = nd
-                    heapq.heappush(pq, (nd, int(v)))
+            edges = [(int(v), float(lengths[u])) for v in succ[u] if v >= 0]
+            for a in (int(left[u]), int(right[u])):
+                if a >= 0 and valid[a]:
+                    edges.append((a, LANE_CHANGE_COST))
+            for v, w in edges:
+                nd = d + w
+                if nd < dist.get(v, np.inf):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
         assert np.isfinite(best)
         np.testing.assert_allclose(D[lane], best, atol=1e-3)
 

@@ -89,7 +89,18 @@ def test_shared_crossing_is_geometrically_coincident():
 def test_isolated_routes_tile_apart():
     far = _east() + np.array([0.0, 5000.0])
     tmap, paths = shared_map_from_routes([_east(), far], num_lanes=2)
-    assert (np.asarray(tmap.light_group) >= 0).sum() == 0  # no crossings
+    # no SHARED crossings: straight routes still get synthetic
+    # through-junctions (own light groups), but the two tiles' lanes
+    # must not touch
+    rid = np.asarray(tmap.road_id)
+    cl = np.asarray(tmap.centerline)
+    blk = rid // ROAD_ID_STRIDE
+    d = np.linalg.norm(
+        cl[(blk == 0) & (rid >= 0)].reshape(-1, 2)[:, None]
+        - cl[(blk == 1) & (rid >= 0)].reshape(-1, 2)[None],
+        axis=-1,
+    ).min()
+    assert d > 50.0
     assert all(len(p) > 0 for p in paths)
     for p in paths:
         start = route_waypoints(tmap, p)[0, :2]
@@ -97,9 +108,15 @@ def test_isolated_routes_tile_apart():
 
 
 def test_closed_loop_on_shared_town():
-    """Both routes drive the SAME map concurrently; route 1 negotiates the
-    shared junction (waiting its red phase if needed)."""
+    """Both routes drive the SAME map concurrently; each ego negotiates its
+    junctions against crossing traffic. Lights are frozen green, matching
+    the product protocol (run.py --lights green = env_wrapper.py:91) —
+    under cycling lights the reference's 3-s AgentBlockedTest would fail
+    any route that waits out a red phase."""
+    import jax.numpy as jnp
+
     tmap, paths = shared_map_from_routes([_east(), _north()], num_lanes=2)
+    tmap = tmap.replace(light_group=jnp.full_like(tmap.light_group, -1))
     env = TrafficEnv(tmap, num_scenarios=2, num_agents=8, seed=3)
     routes = [route_waypoints(tmap, p) for p in paths]
     state, crit, spec = env.reset(routes=routes, lane_paths=paths)
