@@ -150,17 +150,40 @@ def route_waypoints(tmap: TensorMap, lane_path: list[int], spacing: float = 1.0)
     """Densify a lane path into ~`spacing`-meter waypoints [N, 3] (x, y, hdg).
 
     Equivalent to interpolate_trajectory (route_manipulation.py:137-164).
+    Successor edges append the next lane's centerline; ADJACENCY edges
+    (the path stepping to left_adj/right_adj — a lane change) become a
+    smooth lateral blend along the shared road extent instead of a
+    double-back to the adjacent lane's start (the reference's route plan
+    likewise stays monotone along the road through CHANGELANELEFT/RIGHT
+    options, global_route_planner.py:113-157).
     """
     hm = host_map(tmap)
     cl, hd = hm["centerline"], hm["headings"]
+    left, right = hm["left_adj"], hm["right_adj"]
+    P = cl.shape[1]
+    a_cut, b_cut = max(int(0.35 * P), 1), min(int(0.85 * P), P - 1)
+
     pts, hdg = [], []
+    start_idx = 0  # first centerline vertex of the current lane to emit
     for k, li in enumerate(lane_path):
-        p = cl[li]
-        ph = hd[li]
-        if k > 0:
-            p, ph = p[1:], ph[1:]
-        pts.append(p)
-        hdg.append(ph)
+        p, ph = cl[li], hd[li]
+        nxt = lane_path[k + 1] if k + 1 < len(lane_path) else None
+        if nxt is not None and nxt in (int(left[li]), int(right[li])):
+            a = min(max(a_cut, start_idx + 1), P - 2)
+            b = min(max(b_cut, a + 2), P)
+            keep = p[start_idx:a]
+            t = np.linspace(0.0, 1.0, b - a + 1)[1:, None]
+            blend = p[a:b] * (1.0 - t) + cl[nxt][a:b] * t
+            seg = np.concatenate([keep, blend])
+            d = np.diff(seg, axis=0)
+            sh = np.arctan2(d[:, 1], d[:, 0])
+            pts.append(seg)
+            hdg.append(np.concatenate([sh, sh[-1:]]))
+            start_idx = b  # the next (adjacent) lane resumes past the blend
+            continue
+        pts.append(p[start_idx:] if start_idx else p)
+        hdg.append(ph[start_idx:] if start_idx else ph)
+        start_idx = 1  # successor lanes share the boundary vertex
     pts = np.concatenate(pts)
     hdg = np.concatenate(hdg)
     seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)

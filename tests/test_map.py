@@ -154,3 +154,59 @@ def test_reference_lines_jit_under_vmap():
     )(positions)
     assert refs["position"].shape == (3, 4, 120, 2)
     assert bool(refs["valid_mask"][0, 0].any())
+
+
+# ---------------------------------------------------------------------------
+# lane-change route geometry (VERDICT r3 item 8: reference-like topology —
+# a route stepping to left_adj/right_adj must produce a monotone lateral
+# blend, not a double-back to the adjacent lane's start)
+# ---------------------------------------------------------------------------
+def _path_has_lane_change(tm, path):
+    left = np.asarray(tm.left_adj)
+    right = np.asarray(tm.right_adj)
+    return any(
+        path[k + 1] in (int(left[path[k]]), int(right[path[k]]))
+        for k in range(len(path) - 1)
+    )
+
+
+def test_route_waypoints_lane_change_monotone():
+    tm = make_straight_town(length=300.0, num_lanes=2)
+    start = nearest_lane_host(tm, [5.0, 0.0])       # lane -1 (y=0)
+    goal = nearest_lane_host(tm, [295.0, -3.5])     # lane -2 (y=-3.5)
+    path, dist = trace_route(tm, start, goal)
+    assert path is not None and _path_has_lane_change(tm, path)
+    wps = route_waypoints(tm, path)
+    x = wps[:, 0]
+    # monotone along the road: no double-back to the adjacent lane's start
+    assert (np.diff(x) > -1e-6).all(), "lane-change route doubles back"
+    # actually moves from the first lane's centerline to the second's
+    assert abs(wps[0, 1] - 0.0) < 0.5
+    assert abs(wps[-1, 1] - (-3.5)) < 0.5
+    # the lateral transition is smooth: per-meter lateral step bounded
+    assert np.abs(np.diff(wps[:, 1])).max() < 0.6
+    # headings stay sane through the blend (road runs +x)
+    assert np.abs(wps[:, 2]).max() < 0.6
+
+
+def test_grid_route_lane_change_across_junctions():
+    """A grid-town route exists that both requires a lane change and crosses
+    >= 3 junction lanes (the reference-like-topology acceptance shape)."""
+    tm = make_grid_town(blocks=2, num_lanes=2)
+    isj = np.asarray(tm.is_junction)
+    valid = np.flatnonzero(np.asarray(tm.valid))
+    rng = np.random.default_rng(0)
+    found = None
+    for _ in range(400):
+        s, g = rng.choice(valid, 2, replace=False)
+        path, dist = trace_route(tm, int(s), int(g))
+        if path is None or dist < 150:
+            continue
+        if _path_has_lane_change(tm, path) and isj[path].sum() >= 3:
+            found = path
+            break
+    assert found is not None, "no lane-change multi-junction route found"
+    wps = route_waypoints(tm, found)
+    seg = np.linalg.norm(np.diff(wps[:, :2], axis=0), axis=1)
+    # ~1 m spacing everywhere, no teleports where the lane change happens
+    assert seg.max() < 2.0
