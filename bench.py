@@ -29,7 +29,10 @@ from rift_tpu.utils import enable_compilation_cache
 enable_compilation_cache()
 
 BASELINE_ENV_STEPS_PER_S = 15.0
-CHUNK = 20
+# ticks fused per device dispatch: one chunk pays one tunnel round-trip
+# (~20-40 ms), so longer chunks amortize it; the CLI runs the same length
+# (run.py FUSED_CHUNK). Override: python bench.py chunk=40
+CHUNK = int(__import__("os").environ.get("RIFT_TPU_BENCH_CHUNK", "20"))
 
 
 def _require_device(timeout_s: float = 180.0):
