@@ -151,6 +151,16 @@ def step(
 
     # dead agents: full brake, no movement below
     action = jnp.where(state.alive[..., None], action, jnp.array([0.0, 0.0, 1.0]))
+    # walkers: zero control (their PID output over lane waypoints is
+    # meaningless — they move by the patrol logic below). Keeps every
+    # constant-control forecast consumer (ego/pdm_ego.py hazard sweep, the
+    # evaluator's neighbor rollout) propagating pedestrians as constant
+    # velocity along their walk heading — the reference forecasts walkers
+    # exactly so (pdm_lite autopilot.py forecast_walkers)
+    action = jnp.where(
+        (state.agent_class == CLASS_WALKER)[..., None],
+        jnp.zeros(3), action,
+    )
 
     # ------------------------------------------------------------------
     # 3-4. dynamics
@@ -168,9 +178,6 @@ def step(
     # destroys it.
     is_walker = state.agent_class == CLASS_WALKER
     is_static = state.agent_class == CLASS_STATIC
-    walk_dir = jnp.stack(
-        [jnp.cos(state.heading), jnp.sin(state.heading)], axis=-1
-    )
     walker_v = 0.8 + 0.8 * (
         (state.bv_branch_bits >> 8) & 0xFF
     ).astype(jnp.float32) / 255.0
@@ -179,14 +186,29 @@ def step(
         + ((state.bv_branch_bits >> 16) % WALKER_PERIOD).astype(jnp.int32)
     ) % WALKER_PERIOD
     outbound = phase < (WALKER_PERIOD // 2)
-    progress = jnp.linalg.norm(state.pos - state.goal, axis=-1)
+    disp = state.pos - state.goal  # patrol anchor lives in `goal`
+    progress = jnp.linalg.norm(disp, axis=-1)
     go_out = outbound & (progress < WALKER_RANGE)
     go_home = ~outbound & (progress > 0.3)
-    dirsign = jnp.where(go_out, 1.0, jnp.where(go_home, -1.0, 0.0))
-    walker_speed = walker_v * jnp.abs(dirsign)
-    walker_pos = state.pos + (dirsign * walker_v)[..., None] * dt * walk_dir
+    # heading FOLLOWS the walk direction (CARLA walkers turn around at the
+    # curb; walking backwards recorded velocities opposite the heading,
+    # corrupting history features and constant-velocity forecasts): away
+    # from the anchor while outbound, toward it while homebound
+    away = jnp.where(
+        (progress > 0.15)[..., None],
+        disp / jnp.maximum(progress, 1e-6)[..., None],
+        jnp.stack([jnp.cos(state.heading), jnp.sin(state.heading)], axis=-1),
+    )
+    walk_vec = jnp.where(go_out[..., None], away, -away)
+    walking = go_out | go_home
+    walk_heading = jnp.where(
+        walking, jnp.arctan2(walk_vec[..., 1], walk_vec[..., 0]),
+        state.heading,
+    )
+    walker_speed = walker_v * walking.astype(jnp.float32)
+    walker_pos = state.pos + walker_speed[..., None] * dt * walk_vec
     new_pos = jnp.where(is_walker[..., None], walker_pos, new_pos)
-    new_heading = jnp.where(is_walker, state.heading, new_heading)
+    new_heading = jnp.where(is_walker, walk_heading, new_heading)
     new_speed = jnp.where(is_walker, walker_speed, new_speed)
     # statics never move
     frozen_agent = ~state.alive | is_static

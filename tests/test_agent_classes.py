@@ -127,3 +127,35 @@ def test_offroad_ignores_walkers():
     off = np.asarray(state.offroad)
     assert not off[cls == CLASS_WALKER].any()
     assert not off[cls == CLASS_STATIC].any()
+
+
+def test_walker_velocity_heading_consistent():
+    """Walkers TURN AROUND at the curb instead of walking backwards: the
+    recorded velocity must align with the heading and with the actual
+    displacement on every moving tick (history features and the constant-
+    control forecasts consume both), and walker controls are zeroed so
+    bicycle_forecast_step propagates them as constant velocity
+    (pdm_lite autopilot.py forecast_walkers semantics)."""
+    env, (state, crit, spec) = _env(num_walkers=2, num_statics=0)
+    cls = np.asarray(state.agent_class)
+    w = cls == CLASS_WALKER
+    moved_any = False
+    for _ in range(80):
+        prev_pos = np.asarray(state.pos)
+        state, crit = env.step(state, crit)
+        pos = np.asarray(state.pos)
+        hdg = np.asarray(state.heading)
+        spd = np.asarray(state.speed)
+        ctrl = np.asarray(state.control)
+        disp = pos - prev_pos
+        moving = w & np.asarray(state.alive) & (spd > 0.1)
+        if moving.any():
+            moved_any = True
+            d = disp[moving]
+            h = hdg[moving]
+            align = d[:, 0] * np.cos(h) + d[:, 1] * np.sin(h)
+            assert (align > 0).all(), "walker displacement opposes heading"
+            vel = np.asarray(state.hist_vel)[:, :, -1][moving]
+            assert (vel * d).sum(-1).min() > 0, "recorded velocity opposes motion"
+        assert np.abs(ctrl[w & np.asarray(state.alive)]).max() == 0.0
+    assert moved_any
