@@ -17,6 +17,15 @@ from .tensor_map import TensorMap
 LANE_CHANGE_COST = 15.0  # discourage but allow lane changes, like the
 # reference's topology graph which includes adjacent-lane edges
 
+# lane-change blend window as fractions of the lane extent: the blended
+# route keeps the source lane up to LC_KEEP_FRAC, crosses laterally, and
+# lands on the target lane at LC_END_FRAC. Shared by route_waypoints
+# (geometry) and route_distance_field (arclength bookkeeping) — adjacent
+# lanes span the SAME physical extent, so a path stepping through an
+# adjacency edge must not double-count it.
+LC_KEEP_FRAC = 0.35
+LC_END_FRAC = 0.85
+
 
 _HOST_CACHE: dict[int, dict] = {}
 
@@ -115,12 +124,27 @@ def route_distance_field(tmap: TensorMap, lane_path: list[int], max_dist: float 
     J = np.full(L, np.inf, np.float64)
     pq = []
     s_cum = 0.0
+    prev = None
     for li in lane_path:
-        if not np.isfinite(J[li]):
-            D[li] = 0.0
-            J[li] = s_cum
-            heapq.heappush(pq, (0.0, int(li)))
-        s_cum += float(length[li])
+        if prev is not None and li in (int(left[prev]), int(right[prev])):
+            # lane-change edge: the blended route consumed only
+            # ~LC_END_FRAC of `prev` and lands on `li` at lane-arclength
+            # ~LC_END_FRAC * length[li] (route_waypoints geometry) — the
+            # two lanes overlap physically, so rewind the double count
+            s_cum -= (1.0 - LC_END_FRAC) * float(length[prev])
+            join_s = LC_END_FRAC * float(length[li])
+            if not np.isfinite(J[li]):
+                D[li] = join_s
+                J[li] = s_cum
+                heapq.heappush(pq, (join_s, int(li)))
+            s_cum += (1.0 - LC_END_FRAC) * float(length[li])
+        else:
+            if not np.isfinite(J[li]):
+                D[li] = 0.0
+                J[li] = s_cum
+                heapq.heappush(pq, (0.0, int(li)))
+            s_cum += float(length[li])
+        prev = li
     while pq:
         d, u = heapq.heappop(pq)
         if d > D[u] or d > max_dist:
@@ -161,7 +185,8 @@ def route_waypoints(tmap: TensorMap, lane_path: list[int], spacing: float = 1.0)
     cl, hd = hm["centerline"], hm["headings"]
     left, right = hm["left_adj"], hm["right_adj"]
     P = cl.shape[1]
-    a_cut, b_cut = max(int(0.35 * P), 1), min(int(0.85 * P), P - 1)
+    a_cut = max(int(LC_KEEP_FRAC * P), 1)
+    b_cut = min(int(LC_END_FRAC * P), P - 1)
 
     pts, hdg = [], []
     start_idx = 0  # first centerline vertex of the current lane to emit

@@ -210,3 +210,39 @@ def test_grid_route_lane_change_across_junctions():
     seg = np.linalg.norm(np.diff(wps[:, :2], axis=0), axis=1)
     # ~1 m spacing everywhere, no teleports where the lane change happens
     assert seg.max() < 2.0
+
+
+def test_route_distance_field_lane_change_arclength():
+    """route_distance_field's join arclengths must track the BLENDED route
+    geometry across adjacency edges: adjacent lanes overlap physically, so
+    a path stepping left/right must not double-count the shared extent
+    (it broke interaction matching: post-change J inflated by ~a lane
+    length, making every candidate route-unreachable)."""
+    from rift_tpu.map.routing import route_distance_field
+
+    tm = make_straight_town(length=300.0, num_lanes=2)
+    start = nearest_lane_host(tm, [5.0, 0.0])
+    goal = nearest_lane_host(tm, [295.0, -3.5])
+    path, dist = trace_route(tm, start, goal)
+    assert _path_has_lane_change(tm, path)
+    wps = route_waypoints(tm, path)
+    D, J = route_distance_field(tm, path)
+    length = np.asarray(tm.length)
+    cl = np.asarray(tm.centerline)
+    P = cl.shape[1]
+    # a vehicle at arclength s on a path lane has implied route arclength
+    # w* = J + s - D (where recognition's d_cbv(w*) = 0); it must agree
+    # with the nearest blended-route waypoint (1 m spacing -> index =
+    # meters) to within the LANE_CHANGE_COST bias the reference's
+    # adjacency-edged A* shares (global_route_planner.py:159)
+    for li in path:
+        for frac in (0.2, 0.9):
+            s = frac * length[li]
+            vi = int(round(frac * (P - 1)))
+            xy = cl[li, vi]
+            w_idx = float(np.linalg.norm(wps[:, :2] - xy, axis=1).argmin())
+            w_star = float(J[li] + s - D[li])
+            assert abs(w_star - w_idx) < 25.0, (
+                f"lane {li} s={s:.0f}: implied route arclength "
+                f"{w_star:.1f} vs actual {w_idx:.1f}"
+            )
