@@ -68,6 +68,10 @@ def main():
         proc = subprocess.Popen(
             cmd, stdout=log, stderr=subprocess.STDOUT,
             start_new_session=True,  # own process group for clean kill
+            # stall detection watches the log's SIZE; a block-buffered child
+            # writing ~50-byte episode lines into an 8 KB stdio buffer looks
+            # wedged for hours and gets false-killed
+            env=dict(os.environ, PYTHONUNBUFFERED="1"),
         )
         print(f"[supervise] attempt {attempt}: pid {proc.pid}", flush=True)
         last_size = os.path.getsize(args.log)
