@@ -54,6 +54,9 @@ def main():
     p.add_argument("--out", default=os.path.join(ROOT, "log", "ego_zoo"))
     p.add_argument("--routes", default=ROUTES_XML)
     p.add_argument("--smoke", action="store_true")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (sitecustomize pre-imports "
+                        "jax on the tunneled TPU; env vars are too late)")
     p.add_argument("--num_scenario", type=int, default=5)
     p.add_argument("--num_agents", type=int, default=16)
     p.add_argument("--collect_episodes", type=int, default=6)
@@ -69,6 +72,11 @@ def main():
     p.add_argument("--quality_artifacts",
                    default=os.path.join(ROOT, "log", "quality", "artifacts"))
     args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     seeds = [int(s) for s in args.seeds.split(",") if s != ""]
     e2e_egos = list(E2E_EGOS)
