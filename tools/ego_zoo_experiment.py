@@ -77,6 +77,13 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        # jax_platforms only takes effect if no backend is initialized yet;
+        # sitecustomize pre-imports jax, so fail fast if the TPU backend
+        # already claimed the process (ADVICE r4).
+        assert jax.default_backend() == "cpu", (
+            f"--cpu requested but backend is {jax.default_backend()!r}: a "
+            "backend was initialized before the flag could apply"
+        )
 
     seeds = [int(s) for s in args.seeds.split(",") if s != ""]
     e2e_egos = list(E2E_EGOS)

@@ -84,7 +84,7 @@ def main():
                         "so the decay is softened to keep the same decay "
                         "per collected experience")
     p.add_argument("--pretrain_episodes", type=int, default=16)
-    p.add_argument("--finetune_episodes", type=int, default=10)
+    p.add_argument("--finetune_episodes", type=int, default=16)
     p.add_argument("--train_ticks", type=int, default=300)
     p.add_argument("--eval_ticks", type=int, default=600)
     p.add_argument("--eval_episodes", type=int, default=2)
