@@ -83,6 +83,12 @@ class TensorMap:
     # (traj_evaluator.py:273-331): one gather per query point
     drivable_grid: jnp.ndarray  # [RY, RX] bool
     drivable_inv_cell: jnp.ndarray  # [] float32
+    # signed road clearance at the same raster cells (half_width - dist to
+    # nearest centerline, meters, clamped to +-CLEARANCE_CLAMP): bilinear
+    # sampling of this field replaces the per-tick exact polyline projection
+    # in `on_road` (16 candidate lanes x 20 segments per query) with 4
+    # gathers + a lerp, at ~cm accuracy near lane boundaries
+    drivable_clearance: jnp.ndarray  # [RY, RX] float32
 
     @property
     def num_lanes(self) -> int:
@@ -200,6 +206,27 @@ class TensorMap:
         line = self.centerline[lane_idx]  # (..., P, 2)
         return project_point_to_polyline(line, point)
 
+    def road_clearance(self, point: jnp.ndarray) -> jnp.ndarray:
+        """Bilinear-sampled signed road clearance (m) for (..., 2) points:
+        >= 0 inside a lane, < 0 outside (distance beyond the lane edge),
+        clamped to +-CLEARANCE_CLAMP far from any road."""
+        ry, rx = self.drivable_clearance.shape
+        cell = (point - self.grid_origin) * self.drivable_inv_cell - 0.5
+        cx = jnp.clip(cell[..., 0], 0.0, rx - 1.001)
+        cy = jnp.clip(cell[..., 1], 0.0, ry - 1.001)
+        x0 = cx.astype(jnp.int32)
+        y0 = cy.astype(jnp.int32)
+        fx = cx - x0
+        fy = cy - y0
+        g = self.drivable_clearance
+        c00 = g[y0, x0]
+        c01 = g[y0, x0 + 1]
+        c10 = g[y0 + 1, x0]
+        c11 = g[y0 + 1, x0 + 1]
+        top = c00 + (c01 - c00) * fx
+        bot = c10 + (c11 - c10) * fx
+        return top + (bot - top) * fy
+
     def on_road(
         self,
         point: jnp.ndarray,
@@ -208,10 +235,30 @@ class TensorMap:
         """Drivable-area membership test for (..., 2) points.
 
         Replaces the reference's cv2-rasterised drivable mask
-        (traj_evaluator.py:273-331): a point is on-road iff its lateral
-        offset to one of the cell's GRID_K nearest lane centerlines is
-        within that lane's half width (+margin). O(GRID_K) per point.
+        (traj_evaluator.py:273-331). Samples the precomputed signed
+        clearance raster bilinearly — same answer as the exact polyline
+        test (`on_road_exact`) to ~cm near boundaries, at 4 gathers per
+        point instead of GRID_K lanes x P segments of projection.
         """
+        return self.road_clearance(point) >= -margin
+
+    def on_road_exact(
+        self,
+        point: jnp.ndarray,
+        margin: float = 0.3,
+    ) -> jnp.ndarray:
+        """Exact drivable-area test: point is on-road iff its lateral
+        offset to one of the cell's GRID_K nearest lane centerlines is
+        within that lane's half width (+margin). O(GRID_K * P) per point;
+        the raster `on_road` is the hot-path variant.
+
+        Known artifact: the clamped-segment perpendicular lateral extends
+        every lane infinitely past its ends, so points far beyond a
+        terminal lane still read "on road" here. The raster field is
+        finite (clearance saturates past ~CLEARANCE_CLAMP from the road),
+        matching the reference's finite cv2 drivable mask
+        (traj_evaluator.py:273-331); the two only disagree >~10 m outside
+        the road network, where no bound agent drives."""
         cand = self.grid_candidates(point)  # (..., K)
         idx = jnp.maximum(cand, 0)
         line = self.centerline[idx]  # (..., K, P, 2)
@@ -367,8 +414,12 @@ def build_tensor_map(
     grid_lanes, grid_origin, grid_inv_cell = _build_spatial_grid(
         centerline, valid, fixed_shape=grid_shape
     )
-    drivable_grid, drivable_inv_cell = _build_drivable_raster(
+    drivable_grid, _, drivable_inv_cell = _build_drivable_raster(
         centerline, width, valid, grid_origin, fixed_shape=raster_shape
+    )
+    drivable_clearance = _build_clearance_raster(
+        centerline, width, valid, grid_lanes, grid_origin, grid_inv_cell,
+        drivable_grid.shape, drivable_inv_cell,
     )
 
     return TensorMap(
@@ -396,11 +447,16 @@ def build_tensor_map(
         grid_inv_cell=jnp.asarray(grid_inv_cell),
         drivable_grid=jnp.asarray(drivable_grid),
         drivable_inv_cell=jnp.asarray(drivable_inv_cell),
+        drivable_clearance=jnp.asarray(drivable_clearance),
     )
 
 
 RASTER_CELL = 1.0  # m — matches the reference's raster granularity
 MAX_RASTER_CELLS = 4_000_000  # coarsen beyond this (multi-km route maps)
+# clearance raster saturation (m): beyond this distance from a lane edge the
+# sign can never flip, so the field clamps — keeps bilinear interpolation
+# well-behaved across the near/far prefilter boundary (cutoff slack is 6 m)
+CLEARANCE_CLAMP = 6.0
 MAX_GRID_CELLS = 1_500_000  # same cap for the lane hash grid
 
 
@@ -441,14 +497,16 @@ def _build_drivable_raster(
 ):
     """[RY, RX] bool: cell center within half-width(+margin) of a lane
     centerline. Host-side, exact point-to-segment distances over the k
-    nearest candidate lanes per cell."""
+    nearest candidate lanes per cell. (The float clearance field lives in
+    `_build_clearance_raster`, which mirrors on_road_exact's grid-hash
+    candidate semantics.)"""
     import numpy as onp
     from scipy.spatial import cKDTree
 
     lane_ids_valid = onp.flatnonzero(valid)
     if len(lane_ids_valid) == 0:
         out = onp.zeros(fixed_shape or (1, 1), bool)
-        return out, onp.float32(1.0 / cell)
+        return out, None, onp.float32(1.0 / cell)
     verts = centerline[lane_ids_valid].reshape(-1, 2)
     vert_lane = onp.repeat(lane_ids_valid, centerline.shape[1])
     hi = verts.max(0) + 12.0
@@ -499,7 +557,99 @@ def _build_drivable_raster(
     out = out.reshape(ry, rx)
     if fixed_shape is not None:
         out = _pad_grid_edge(out, fixed_shape)
-    return out, onp.float32(1.0 / cell)
+    return out, None, onp.float32(1.0 / cell)
+
+
+def _build_clearance_raster(
+    centerline: np.ndarray,  # [L, P, 2]
+    width: np.ndarray,  # [L]
+    valid: np.ndarray,  # [L]
+    grid_lanes: np.ndarray,  # [GY, GX, GRID_K] the lane hash grid
+    origin: np.ndarray,  # [2]
+    grid_inv_cell: np.ndarray,  # []
+    raster_shape: tuple[int, int],
+    raster_inv_cell: np.ndarray,  # []
+) -> np.ndarray:
+    """[RY, RX] float32 signed clearance at raster cell centers, computed
+    with EXACTLY `on_road_exact`'s semantics: candidates from the spatial
+    hash grid, clearance = max over candidates of
+    (half_width - |clamped-segment perpendicular lateral|), clamped to
+    +-CLEARANCE_CLAMP. Bilinear sampling of this field (`on_road`)
+    then reproduces the exact test up to interpolation error (~cm on
+    straight boundaries, <~0.2 m at sharp junction corners)."""
+    import numpy as onp
+
+    from scipy.spatial import cKDTree
+
+    ry, rx = raster_shape
+    cell = 1.0 / float(raster_inv_cell)
+    xs = origin[0] + (onp.arange(rx) + 0.5) * cell
+    ys = origin[1] + (onp.arange(ry) + 0.5) * cell
+    out = onp.full((ry, rx), -CLEARANCE_CLAMP, onp.float32)
+    if not valid.any():
+        return out
+
+    # prefilter: only cells that could have clearance > -CLAMP need the
+    # exact projection (route-union maps are mostly empty AABB). Vertex
+    # spacing bounds the vertex-vs-segment distance gap by max_seg/2.
+    verts_all = centerline[valid].reshape(-1, 2)
+    seg_len = onp.linalg.norm(onp.diff(centerline[valid], axis=1), axis=-1)
+    cutoff = (
+        CLEARANCE_CLAMP
+        + float(width[valid].max()) * 0.5
+        + float(seg_len.max()) * 0.5
+        + cell
+    )
+    tree = cKDTree(verts_all)
+
+    gy, gx = grid_lanes.shape[:2]
+    chunk_rows = max(1, 262_144 // max(rx, 1))
+    for r0 in range(0, ry, chunk_rows):
+        yy = ys[r0 : r0 + chunk_rows]
+        grid_pts = onp.stack(
+            [
+                onp.repeat(xs[None], len(yy), 0),
+                onp.repeat(yy[:, None], rx, 1),
+            ],
+            axis=-1,
+        ).reshape(-1, 2)
+        d1, _ = tree.query(grid_pts, k=1, workers=-1)
+        nearsel = onp.flatnonzero(d1 <= cutoff)
+        if len(nearsel) == 0:
+            continue
+        pts = grid_pts[nearsel]  # [n, 2]
+        cellf = (pts - origin[None]) * float(grid_inv_cell)
+        cx = onp.clip(cellf[:, 0].astype(onp.int64), 0, gx - 1)
+        cy = onp.clip(cellf[:, 1].astype(onp.int64), 0, gy - 1)
+        cand = grid_lanes[cy, cx]  # [n, K]
+        has = cand >= 0
+        li = onp.maximum(cand, 0)
+        cl = centerline[li]  # [n, K, P, 2]
+        a, b = cl[:, :, :-1], cl[:, :, 1:]
+        ab = b - a
+        ap = pts[:, None, None] - a
+        t = onp.clip(
+            (ap * ab).sum(-1) / onp.maximum((ab * ab).sum(-1), 1e-12),
+            0.0, 1.0,
+        )
+        proj = a + t[..., None] * ab
+        d2 = onp.sum((pts[:, None, None] - proj) ** 2, axis=-1)  # [n, K, P-1]
+        seg = onp.argmin(d2, axis=-1)
+        take = lambda arr: onp.take_along_axis(
+            arr, seg[..., None, None].repeat(2, -1), axis=2
+        )[:, :, 0]
+        pb = take(proj)
+        tb = take(ab)
+        tb /= onp.maximum(onp.linalg.norm(tb, axis=-1, keepdims=True), 1e-12)
+        rel = pts[:, None] - pb
+        lat = onp.abs(rel[..., 0] * tb[..., 1] - rel[..., 1] * tb[..., 0])
+        clr = width[li] * 0.5 - lat
+        clr = onp.where(has & valid[li], clr, -onp.inf)
+        clr = clr.max(-1)  # [n]
+        block = out[r0 : r0 + chunk_rows].reshape(-1)
+        block[nearsel] = onp.clip(clr, -CLEARANCE_CLAMP, CLEARANCE_CLAMP)
+        out[r0 : r0 + chunk_rows] = block.reshape(len(yy), rx)
+    return out
 
 
 def _build_spatial_grid(

@@ -68,6 +68,34 @@ def test_on_road():
     assert bool(res[0]) and not bool(res[1])
 
 
+def test_on_road_sdf_matches_exact():
+    """The bilinear clearance raster (`on_road`) reproduces the exact
+    polyline test (`on_road_exact`) for realistic query points: lane points
+    perturbed laterally up to +-6 m — everywhere a bound agent can be.
+    Disagreements are tolerated only in a narrow band (+-0.25 m) around the
+    drivable boundary (bilinear interpolation error at junction corners)."""
+    from rift_tpu.map import make_grid_town
+
+    tm = make_grid_town(blocks=2, num_lanes=2)
+    rng = np.random.default_rng(7)
+    cl = np.asarray(tm.centerline[np.asarray(tm.valid)]).reshape(-1, 2)
+    base = cl[rng.integers(0, len(cl), 8000)]
+    pts = jnp.asarray(
+        (base + rng.uniform(-6.0, 6.0, size=base.shape)).astype(np.float32)
+    )
+    exact = np.asarray(tm.on_road_exact(pts))
+    fast = np.asarray(tm.on_road(pts))
+    clr = np.asarray(tm.road_clearance(pts))
+    dis = exact != fast
+    boundary_band = np.abs(clr + 0.3) < 0.25
+    assert (dis & ~boundary_band).sum() == 0, (
+        f"{dis.sum()} disagreements, "
+        f"{(dis & ~boundary_band).sum()} outside the boundary band"
+    )
+    # and the band itself stays rare
+    assert dis.mean() < 0.02
+
+
 def test_query_proximal():
     tm = make_straight_town(length=500.0, num_lanes=2)
     idx, valid = tm.query_proximal(jnp.array([250.0, 0.0]), radius=120.0, max_objects=8)

@@ -1,0 +1,193 @@
+"""Round-5 knockouts, part 3: env residual (rule ego, PID, history ring,
+walkers, stop/lights, route progress) + param-free model-internal stubs.
+
+    python tools/prof/prof_r5_knock3.py [chunk]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from rift_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+from rift_tpu.map import make_grid_town  # noqa: E402
+from rift_tpu.runner import Runner, RunnerConfig  # noqa: E402
+
+S, A, C = 64, 24, 3
+CHUNK = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+
+tmap = make_grid_town(blocks=2, num_lanes=2)
+cfg = RunnerConfig(
+    num_scenarios=S, num_agents=A, max_cbvs=C,
+    encoder_depth=4, decoder_depth=4, canonical=True,
+)
+r = Runner(tmap, cfg)
+state, crit, spec = r.init_params()
+params, model = r.params, r.model
+
+
+def run_chunk(chunk=CHUNK):
+    from rift_tpu.models.pluto.policy import canonical_map_tokens
+    from rift_tpu.rollout import rollout_chunk
+
+    map_tok = canonical_map_tokens(model, params, tmap)
+
+    def fn(s, c):
+        s, c, _ = rollout_chunk(
+            model, params, tmap, spec, s, c, max_cbvs=C, num_steps=chunk,
+            train=False, with_policy=True, canonical=True, map_tok=map_tok,
+        )
+        return s, c
+    return fn
+
+
+def timeit(name, n=4, trials=3, chunk=CHUNK):
+    jax.clear_caches()
+    fn = run_chunk(chunk)
+    t0 = time.perf_counter()
+    s, c = fn(state, crit)
+    jax.block_until_ready(s.pos)
+    comp = time.perf_counter() - t0
+    best = 1e9
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        s, c = state, crit
+        for _ in range(n):
+            s, c = fn(s, c)
+            jax.block_until_ready(s.pos)
+        best = min(best, (time.perf_counter() - t0) / n)
+    ms = best * 1e3 / chunk
+    print(f"{name:40s} {ms:9.3f} ms/tick   (compile {comp:.1f}s)", flush=True)
+    return ms
+
+
+import rift_tpu.models.pluto.layers as L  # noqa: E402
+import rift_tpu.scenario.env as ENV  # noqa: E402
+import rift_tpu.sim.pid as PID  # noqa: E402
+import rift_tpu.sim.world as W  # noqa: E402
+
+base = timeit("baseline")
+
+# rule ego -> straight-ahead cheap waypoints
+orig_ego = ENV.rule_ego_waypoints
+def cheap_ego(spec_, st, dt=0.1, num_points=30, tmap=None):
+    t = jnp.arange(1, num_points + 1, dtype=jnp.float32)
+    d = jnp.maximum(st.speed[:, 0] * dt, 1e-3)
+    x = d[:, None] * t
+    fwd = jnp.stack(
+        [jnp.cos(st.heading[:, 0]), jnp.sin(st.heading[:, 0])], -1
+    )
+    return x[..., None] * fwd[:, None, :]
+ENV.rule_ego_waypoints = cheap_ego
+timeit("-rule ego")
+ENV.rule_ego_waypoints = orig_ego
+
+# PID tracker -> constant coast
+orig_track = W.track_step
+def cheap_track(tracker, wp, speed):
+    act = jnp.zeros(speed.shape + (3,))
+    return act, tracker
+W.track_step = cheap_track
+timeit("-PID track_step")
+W.track_step = orig_track
+
+# history ring -> frozen
+import rift_tpu.sim.state as ST  # noqa: E402
+
+orig_step = W.step.__wrapped__ if hasattr(W.step, "__wrapped__") else None
+# knock the ring by patching jnp.concatenate? too broad — instead patch
+# extend_path (the traj merge) which runs twice per tick
+orig_ext = W.extend_path
+W.extend_path = lambda p, n: (
+    p if p.shape[-2] >= n else jnp.concatenate(
+        [p, jnp.repeat(p[..., -1:, :], n - p.shape[-2], axis=-2)], axis=-2
+    )
+)
+timeit("-extend_path (const-v extrapolation)")
+W.extend_path = orig_ext
+
+# stop signs + traffic lights + yield inside autopilot target speed
+orig_red = W.red_ahead
+W.red_ahead = lambda tmap_, lane, pos, tick: (
+    jnp.zeros(lane.shape, bool), jnp.zeros(lane.shape))
+orig_yield = W.yield_target_speed
+W.yield_target_speed = lambda tmap_, st, v: v
+orig_stop = W.stop_target_speed
+W.stop_target_speed = lambda tmap_, lane, pos, latch, v: v
+timeit("-lights+yield+stops")
+W.red_ahead = orig_red
+W.yield_target_speed = orig_yield
+W.stop_target_speed = orig_stop
+
+# lane_follow_waypoints (the autopilot's chain-walk interp)
+orig_lf = W.lane_follow_waypoints
+def cheap_lf(tmap_, lane, pos, heading, bits, spacing, num_points=None, n_chain=None, **kw):
+    n = W.LOOKAHEAD_WAYPOINTS if num_points is None else num_points
+    t = jnp.arange(1, n + 1, dtype=jnp.float32)
+    x = spacing[..., None] * t
+    fwd = jnp.stack([jnp.cos(heading), jnp.sin(heading)], -1)
+    return x[..., None] * fwd[..., None, :]
+W.lane_follow_waypoints = cheap_lf
+timeit("-lane_follow_waypoints")
+W.lane_follow_waypoints = orig_lf
+
+# route progress + ego red entry + stop memory in world.step
+orig_szi = W.stop_zone_info
+W.stop_zone_info = lambda tmap_, lane, pos: (
+    jnp.zeros(lane.shape), jnp.zeros(lane.shape, bool), jnp.zeros(lane.shape))
+orig_ere = W.ego_red_light_entry
+W.ego_red_light_entry = lambda tmap_, l0, l1, tick: jnp.zeros(l0.shape, bool)
+timeit("-stop_zone+red_entry")
+W.stop_zone_info = orig_szi
+W.ego_red_light_entry = orig_ere
+
+# ---- model internals, param-free stubs ------------------------------------
+orig_hist = L.HistoryEncoder.__call__
+def cheap_hist(self, x, deterministic=True):
+    out_dim = self.embed_dim * 4
+    base = x.mean(axis=(-1, -2))[..., None]
+    return jnp.broadcast_to(base, base.shape[:-1] + (out_dim,)).astype(
+        self.dtype or jnp.float32
+    )
+L.HistoryEncoder.__call__ = cheap_hist
+timeit("-HistoryEncoder (param-free)")
+L.HistoryEncoder.__call__ = orig_hist
+
+orig_pts = L.PointsEncoder.__call__
+def cheap_pts(self, x, mask):
+    base = jnp.where(mask, x.mean(-1), -1e9).max(-1)[..., None]
+    return jnp.broadcast_to(
+        base, base.shape[:-1] + (self.out_dim,)
+    ).astype(self.dtype or jnp.float32)
+L.PointsEncoder.__call__ = cheap_pts
+timeit("-PointsEncoder (param-free)")
+L.PointsEncoder.__call__ = orig_pts
+
+import rift_tpu.models.pluto.model as MM  # noqa: E402
+
+orig_dec = MM.DecoderLayer.__call__
+def cheap_dec(self, tgt, memory, r_key_padding, memory_key_padding, m_pos,
+              deterministic=True):
+    return tgt + memory.mean(1)[:, None, None, :].astype(tgt.dtype)
+MM.DecoderLayer.__call__ = cheap_dec
+timeit("-decoder layers (param-free)")
+MM.DecoderLayer.__call__ = orig_dec
+
+orig_tel = L.TransformerEncoderLayer.__call__
+def cheap_tel(self, x, key_padding_mask=None, deterministic=True):
+    return x + x.mean(-1, keepdims=True)
+L.TransformerEncoderLayer.__call__ = cheap_tel
+timeit("-encoder layers (param-free)")
+L.TransformerEncoderLayer.__call__ = orig_tel
+
+orig_pred = MM.AgentPredictor.__call__
+def cheap_pred(self, x):
+    B, N, _ = x.shape
+    return jnp.zeros((B, N, self.future_steps, 6), jnp.float32) + x.sum() * 1e-9
+MM.AgentPredictor.__call__ = cheap_pred
+timeit("-AgentPredictor (param-free)")
+MM.AgentPredictor.__call__ = orig_pred
