@@ -29,6 +29,8 @@ from rift_tpu.utils import enable_compilation_cache
 enable_compilation_cache()
 
 BASELINE_ENV_STEPS_PER_S = 15.0
+# TPU v5e (v5 lite) bf16 peak: 197 TFLOP/s per chip
+PEAK_FLOPS = 197e12
 # ticks fused per device dispatch: one chunk pays one tunnel round-trip
 # (~20-40 ms), so longer chunks amortize it; the CLI runs the same length
 # (run.py FUSED_CHUNK). Override: python bench.py chunk=40
@@ -142,6 +144,35 @@ def main(
     train_sps = train_chunks * steps / dt_train
     print(f"# train_cbv: {train_sps:,.0f} env-steps/s", file=sys.stderr)
 
+    # ---- FLOP accounting / MFU (VERDICT r4 item 2) -----------------------
+    # XLA's own cost model over the compiled eval chunk: FLOPs per
+    # env-step across ALL scenarios, and achieved FLOP/s vs the chip's
+    # bf16 peak. The workload is intentionally NOT matmul-dense (a traffic
+    # world model + a dim-128 planner), so MFU quantifies how far the
+    # rollout sits from roofline rather than chasing it.
+    flops_per_step = mfu = None
+    try:
+        from rift_tpu.rollout import rollout_chunk
+
+        lowered = jax.jit(
+            lambda s, c: rollout_chunk(
+                r.model, r.params, r.tmap, spec, s, c, max_cbvs=max_cbvs,
+                num_steps=CHUNK, train=False, with_policy=True,
+                canonical=canonical, map_tok=r._map_tokens(),
+            )[0]
+        ).lower(state, crit)
+        cost = lowered.compile().cost_analysis()
+        if cost and cost.get("flops"):
+            flops_per_step = float(cost["flops"]) / CHUNK
+            mfu = (flops_per_step / num_scenarios) * eval_sps / PEAK_FLOPS
+            print(
+                f"# flops/env-tick (all {num_scenarios} scen): "
+                f"{flops_per_step:.3e}; MFU {mfu * 100:.2f}%",
+                file=sys.stderr,
+            )
+    except Exception as e:  # noqa: BLE001 — accounting must never fail the bench
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -152,6 +183,10 @@ def main(
                 "train_mode_value": round(train_sps, 1),
                 "world_only_value": round(world_sps, 1),
                 "compile_s": round(compile_s, 1),
+                "model_flops_per_step": (
+                    round(flops_per_step) if flops_per_step else None
+                ),
+                "mfu": round(mfu, 5) if mfu else None,
             }
         )
     )

@@ -485,9 +485,17 @@ class PlutoModel(nn.Module):
             )(x, key_padding_mask=key_padding_mask, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, name="enc_norm", dtype=self.dtype)(x)
 
-        prediction = AgentPredictor(
-            self.dim, self.future_steps, name="agent_predictor", dtype=self.dtype
-        )(x[:, 1:A]).astype(jnp.float32)
+        # the agent-prediction AUX head only feeds training losses (reference
+        # pluto_model.py computes it unconditionally and eval discards it);
+        # data["no_aux"] skips it in the rollout-eval forward. nn.cond-free:
+        # the flag is a static dict key, so each variant traces its own
+        # program. Params exist either way (init never passes no_aux).
+        no_aux = "no_aux" in data
+        if not no_aux:
+            prediction = AgentPredictor(
+                self.dim, self.future_steps, name="agent_predictor",
+                dtype=self.dtype,
+            )(x[:, 1:A]).astype(jnp.float32)
 
         trajectory, probability = PlanningDecoder(
             self.num_modes, self.decoder_depth, self.dim, self.num_heads,
@@ -499,8 +507,9 @@ class PlutoModel(nn.Module):
         out = {
             "trajectory": trajectory,  # (B, R, M, T, 6)
             "probability": probability,  # (B, R, M)
-            "prediction": prediction,  # (B, A-1, T, 6)
         }
+        if not no_aux:
+            out["prediction"] = prediction  # (B, A-1, T, 6)
 
         if self.value_head:
             out["value"] = MLPLayer(
@@ -526,17 +535,18 @@ class PlutoModel(nn.Module):
             )
 
         # world-frame prediction outputs (reference pluto_model.py:190-199)
-        out["output_prediction"] = jnp.concatenate(
-            [
-                prediction[..., :2] + agent_pos[:, 1:A, None],
-                (
-                    jnp.arctan2(prediction[..., 3], prediction[..., 2])
-                    + agent_heading[:, 1:A, None]
-                )[..., None],
-                prediction[..., 4:6],
-            ],
-            axis=-1,
-        )
+        if not no_aux:
+            out["output_prediction"] = jnp.concatenate(
+                [
+                    prediction[..., :2] + agent_pos[:, 1:A, None],
+                    (
+                        jnp.arctan2(prediction[..., 3], prediction[..., 2])
+                        + agent_heading[:, 1:A, None]
+                    )[..., None],
+                    prediction[..., 4:6],
+                ],
+                axis=-1,
+            )
 
         # mask invalid reference lines, emit best trajectory
         r_padding = ~data["reference_line"]["valid_mask"].any(-1)  # (B, R)

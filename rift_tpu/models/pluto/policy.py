@@ -167,9 +167,12 @@ def pluto_cbv_act(
         }
         if map_tok is not None:
             model_in["shared"]["map_tok"] = map_tok
-        out = model.apply(params, model_in)
     else:
-        out = model.apply(params, flat_feats)
+        model_in = dict(flat_feats)
+    # rollout forwards never consume the agent-prediction aux head (it
+    # exists for checkpoint parity and aux-loss work); skip its compute
+    model_in["no_aux"] = True
+    out = model.apply(params, model_in)
 
     traj3, chosen_idx, _ = select_trajectory(out, topk)
     wp = traj3[..., :2]  # [S*C, T, 2] local-frame waypoints

@@ -25,44 +25,59 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .retrack import _atan2
 
-BB = 8  # (CBV, ref-line) pairs per block
+# (CBV, ref-line) pairs per block — Mosaic requires the sublane block dim
+# divisible by 8, so BB=8 is the floor. The [BB, MT=480, Nr=120] f32
+# intermediates at ~10 live tensors total ~18 MB, past the 16 MB VMEM
+# ceiling (measured 3.5 ms/tick in-context as HBM spill); the kernel
+# therefore streams the candidate-point axis in MT_CHUNK slices, keeping
+# the working set ~2.5 MB VMEM-resident.
+BB = 8
+MT_CHUNK = 128
 
 
 def _refline_kernel(cx_ref, cy_ref, ch_ref, rx_ref, ry_ref, rc_ref, rs_ref,
                     rv_ref, dis_ref, ang_ref):
-    cx = cx_ref[:]  # [BB, MT]
-    cy = cy_ref[:]
-    ch = ch_ref[:]
     rx = rx_ref[:]  # [BB, Nr]
     ry = ry_ref[:]
     rcos = rc_ref[:]
     rsin = rs_ref[:]
     rvalid = rv_ref[:]  # [BB, Nr] float32 (1 valid / 0 pad)
     Nr = rx.shape[-1]
+    MT = cx_ref.shape[-1]
+    n_chunks = MT // MT_CHUNK  # MT padded to a multiple by the caller
 
-    dxx = cx[:, :, None] - rx[:, None, :]  # [BB, MT, Nr]
-    dyy = cy[:, :, None] - ry[:, None, :]
-    d2 = dxx * dxx + dyy * dyy
-    d2 = jnp.where(rvalid[:, None, :] > 0.5, d2, jnp.inf)
+    def chunk(ci, _):
+        sl = pl.ds(ci * MT_CHUNK, MT_CHUNK)
+        cx = cx_ref[:, sl]  # [BB, MC]
+        cy = cy_ref[:, sl]
+        ch = ch_ref[:, sl]
 
-    mn = jnp.min(d2, axis=-1, keepdims=True)  # [BB, MT, 1]
-    iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
-    idx = jnp.min(jnp.where(d2 == mn, iota, Nr), axis=-1)  # first argmin
-    one_hot = (iota == idx[..., None]).astype(jnp.float32)
+        dxx = cx[:, :, None] - rx[:, None, :]  # [BB, MC, Nr]
+        dyy = cy[:, :, None] - ry[:, None, :]
+        d2 = dxx * dxx + dyy * dyy
+        d2 = jnp.where(rvalid[:, None, :] > 0.5, d2, jnp.inf)
 
-    g = lambda v: jnp.sum(one_hot * v[:, None, :], axis=-1)  # [BB, MT]
-    tan_c = g(rcos)
-    tan_s = g(rsin)
-    rel_x = cx - g(rx)
-    rel_y = cy - g(ry)
+        mn = jnp.min(d2, axis=-1, keepdims=True)  # [BB, MC, 1]
+        iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+        idx = jnp.min(jnp.where(d2 == mn, iota, Nr), axis=-1)  # first argmin
+        one_hot = (iota == idx[..., None]).astype(jnp.float32)
 
-    # signed lateral: -(rel x tangent)
-    cross = rel_x * tan_s - rel_y * tan_c
-    dis_ref[:] = -cross
-    # heading error, wrapped
-    closest_angle = _atan2(tan_s, tan_c)  # Mosaic has no atan2 lowering
-    raw = ch - closest_angle
-    ang_ref[:] = (raw + jnp.pi) % (2 * jnp.pi) - jnp.pi
+        g = lambda v: jnp.sum(one_hot * v[:, None, :], axis=-1)  # [BB, MC]
+        tan_c = g(rcos)
+        tan_s = g(rsin)
+        rel_x = cx - g(rx)
+        rel_y = cy - g(ry)
+
+        # signed lateral: -(rel x tangent)
+        cross = rel_x * tan_s - rel_y * tan_c
+        dis_ref[:, sl] = -cross
+        # heading error, wrapped
+        closest_angle = _atan2(tan_s, tan_c)  # Mosaic has no atan2 lowering
+        raw = ch - closest_angle
+        ang_ref[:, sl] = (raw + jnp.pi) % (2 * jnp.pi) - jnp.pi
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk, 0)
 
 
 def _round_up(n, m):
@@ -82,27 +97,31 @@ def refline_matrices_pallas(
     BR, MT, _ = cand_pos.shape
     Nr = ref_pos.shape[1]
     BRp = _round_up(BR, BB)
+    MTp = _round_up(MT, MT_CHUNK)
 
     def padb(x):
         return jnp.pad(x, ((0, BRp - BR),) + ((0, 0),) * (x.ndim - 1))
 
-    cx = padb(cand_pos[..., 0].astype(jnp.float32))
-    cy = padb(cand_pos[..., 1].astype(jnp.float32))
-    ch = padb(cand_heading.astype(jnp.float32))
+    def padmt(x):
+        return jnp.pad(x, ((0, 0), (0, MTp - MT)))
+
+    cx = padmt(padb(cand_pos[..., 0].astype(jnp.float32)))
+    cy = padmt(padb(cand_pos[..., 1].astype(jnp.float32)))
+    ch = padmt(padb(cand_heading.astype(jnp.float32)))
     rx = padb(ref_pos[..., 0].astype(jnp.float32))
     ry = padb(ref_pos[..., 1].astype(jnp.float32))
     rc = padb(jnp.cos(ref_heading).astype(jnp.float32))
     rs = padb(jnp.sin(ref_heading).astype(jnp.float32))
     rv = padb(ref_valid.astype(jnp.float32))
 
-    c_spec = pl.BlockSpec((BB, MT), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec((BB, MTp), lambda i: (i, 0), memory_space=pltpu.VMEM)
     r_spec = pl.BlockSpec((BB, Nr), lambda i: (i, 0), memory_space=pltpu.VMEM)
     dis, ang = pl.pallas_call(
         _refline_kernel,
-        out_shape=[jax.ShapeDtypeStruct((BRp, MT), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((BRp, MTp), jnp.float32)] * 2,
         grid=(BRp // BB,),
         in_specs=[c_spec, c_spec, c_spec, r_spec, r_spec, r_spec, r_spec, r_spec],
         out_specs=[c_spec, c_spec],
         interpret=interpret,
     )(cx, cy, ch, rx, ry, rc, rs, rv)
-    return dis[:BR], ang[:BR]
+    return dis[:BR, :MT], ang[:BR, :MT]

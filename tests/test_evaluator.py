@@ -114,6 +114,79 @@ def test_rollout_slows_for_dense_waypoints():
     assert float(v[0, -1]) < 4.0  # braked toward slow target
 
 
+def test_refline_pallas_matches_jnp():
+    """The streamed Pallas refline kernel (interpret mode) reproduces
+    ref_line_matrices on random candidate/ref geometries."""
+    from rift_tpu.ops.refline import refline_matrices_pallas
+    from rift_tpu.rl.evaluator import ref_line_matrices
+
+    rng = np.random.default_rng(5)
+    R, M, T, Nr = 3, 4, 10, 17
+    cand_pos = jnp.asarray(rng.normal(0, 20, (R, M, T, 2)).astype(np.float32))
+    cand_heading = jnp.asarray(
+        rng.uniform(-np.pi, np.pi, (R, M, T)).astype(np.float32)
+    )
+    ref_pos = jnp.asarray(rng.normal(0, 20, (R, Nr, 2)).astype(np.float32))
+    ref_heading = jnp.asarray(
+        rng.uniform(-np.pi, np.pi, (R, Nr)).astype(np.float32)
+    )
+    ref_valid = jnp.asarray(rng.random((R, Nr)) > 0.2)
+    ref_valid = ref_valid.at[:, 0].set(True)
+    dd_ref, da_ref = ref_line_matrices(
+        cand_pos, cand_heading, ref_pos, ref_heading, ref_valid
+    )
+    dd_pl, da_pl = refline_matrices_pallas(
+        cand_pos.reshape(R, M * T, 2),
+        cand_heading.reshape(R, M * T),
+        ref_pos, ref_heading, ref_valid,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dd_pl).reshape(R, M, T), np.asarray(dd_ref), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(da_pl).reshape(R, M, T), np.asarray(da_ref), atol=1e-4
+    )
+
+
+def test_retrack_pallas_matches_jnp_scan():
+    """The Pallas kernel (interpret mode) reproduces the lax.scan reference
+    path of rollout_candidates on mixed candidate geometries."""
+    from rift_tpu.ops.retrack import retrack_rollout_pallas
+
+    rng = np.random.default_rng(3)
+    G, T = 7, NUM_FRAMES
+    t = np.arange(T, dtype=np.float32)
+    paths = []
+    for g in range(G):
+        v = rng.uniform(0.3, 1.5)
+        curve = rng.uniform(-0.02, 0.02)
+        x = t * v
+        y = curve * x**2 / 10.0
+        paths.append(np.stack([x, y], axis=-1))
+    ref_pos = jnp.asarray(np.stack(paths))
+    ref_heading = jnp.asarray(
+        np.arctan2(
+            np.gradient(np.stack(paths)[..., 1], axis=1),
+            np.gradient(np.stack(paths)[..., 0], axis=1) + 1e-9,
+        ).astype(np.float32)
+    )
+    v0 = jnp.asarray(rng.uniform(0.0, 12.0, G).astype(np.float32))
+    c_ref, h_ref, v_ref = rollout_candidates(ref_pos, ref_heading, v0)
+    c_pl, h_pl, v_pl = retrack_rollout_pallas(
+        ref_pos, ref_heading, v0, NUM_FRAMES, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_pl), np.asarray(c_ref), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_pl), np.asarray(v_ref), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_pl), np.asarray(h_ref), atol=2e-3
+    )
+
+
 # ----------------------------------------------------------------- forecast
 def test_forecast_neighbors_moves_forward():
     N = 2

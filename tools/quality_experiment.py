@@ -87,7 +87,7 @@ def main():
     p.add_argument("--finetune_episodes", type=int, default=16)
     p.add_argument("--train_ticks", type=int, default=300)
     p.add_argument("--eval_ticks", type=int, default=600)
-    p.add_argument("--eval_episodes", type=int, default=2)
+    p.add_argument("--eval_episodes", type=int, default=4)
     p.add_argument("--methods", default=",".join(METHODS))
     p.add_argument("--seeds", default=",".join(map(str, SEEDS)))
     args = p.parse_args()
@@ -216,16 +216,30 @@ def write_results_md(args, merged, eval_dir):
     os.makedirs(res_dir, exist_ok=True)
     order = ["standard", "pluto"] + [m for m in METHODS if m != "rift_pluto"]
     order.append("rift_pluto")
+    base = os.path.join(eval_dir, "eval")
     rows = []
     for cbv in order:
         key = f"pdm_lite-{cbv}"
         if key not in merged:
             continue
+        # honest per-row seed count from the run files actually merged
+        n_seeds = len([
+            t for t in os.listdir(base)
+            if t.startswith(f"pdm_lite-{cbv}-seed")
+            and os.path.exists(
+                os.path.join(base, t, "simulation_results.json")
+            )
+        ]) if os.path.isdir(base) else 0
         cells = [merged[key].get(c, "n/a") for c, _ in COLUMNS]
         name = "**RIFT (ours)**" if cbv == "rift_pluto" else cbv
-        rows.append("| " + " | ".join([name] + cells) + " |")
-    header = "| CBV method | " + " | ".join(h for _, h in COLUMNS) + " |"
-    sep = "|" + "---|" * (len(COLUMNS) + 1)
+        rows.append(
+            "| " + " | ".join([name, str(n_seeds)] + cells) + " |"
+        )
+    header = (
+        "| CBV method | seeds | "
+        + " | ".join(h for _, h in COLUMNS) + " |"
+    )
+    sep = "|" + "---|" * (len(COLUMNS) + 2)
     md = [
         "# Quality-parity experiment — PDM-Lite ego (BASELINE.md Table 1 protocol)",
         "",
@@ -237,7 +251,9 @@ def write_results_md(args, merged, eval_dir):
         "nuPlan `pluto_1M_aux_cil.ckpt`, rift/cbv/planning/pluto/pluto.py:130-137),",
         "closed-loop fine-tune every RLFT/SFT variant from that pretrain",
         "(rlft_pluto.py:206-247), then the eval matrix over the dev10-derived",
-        f"routes x seeds {args.seeds} (walkers+statics on, stop junctions at",
+        "routes (per-row seed counts in the `seeds` column; the flagship",
+        "standard/pluto/grpo/rift rows carry extra seeds for statistical",
+        "power, VERDICT r4 item 3) (walkers+statics on, stop junctions at",
         f"ratio {getattr(args, 'stop_ratio', 0.25)}, traffic lights frozen",
         "green as in the reference protocol, env_wrapper.py:91).",
         "",
