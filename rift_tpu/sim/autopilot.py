@@ -268,9 +268,24 @@ def lane_follow_waypoints(
     ) * (P - 1)
     i0 = jnp.clip(frac.astype(jnp.int32), 0, P - 2)
     w = (frac - i0)[..., None]
-    p0 = tmap.centerline[lane_j, i0]  # [..., N, 2]
-    p1 = tmap.centerline[lane_j, i0 + 1]
-    world_wp = p0 * (1.0 - w) + p1 * w
+    # chain-LOCAL one-hot matmul instead of per-point table gathers (see
+    # map/reference_lines.py one_ref): one small per-agent chain gather
+    # [n_chain] rows, then each waypoint selects its segment row via a
+    # one-hot [N, n_chain*(P-1)] MXU matmul. The 4-wide segment row holds
+    # both interpolation endpoints (x0, y0, x1, y1).
+    seg = jnp.concatenate(
+        [tmap.centerline[:, :-1], tmap.centerline[:, 1:]], axis=-1
+    )  # [L, P-1, 4]
+    chain_tab = seg[ch]  # [..., C, P-1, 4]
+    chain_tab = chain_tab.reshape(
+        chain_tab.shape[:-3] + (n_chain * (P - 1), 4)
+    )
+    local = j * (P - 1) + i0  # [..., N]
+    one_hot = (
+        jnp.arange(n_chain * (P - 1)) == local[..., None]
+    ).astype(jnp.float32)  # [..., N, C*(P-1)]
+    s01 = one_hot @ chain_tab  # [..., N, 4]
+    world_wp = s01[..., :2] * (1.0 - w) + s01[..., 2:] * w
     # to local frame
     rel = world_wp - pos[..., None, :]
     c = jnp.cos(heading)[..., None]
