@@ -33,8 +33,8 @@ BASELINE_ENV_STEPS_PER_S = 15.0
 PEAK_FLOPS = 197e12
 # ticks fused per device dispatch: one chunk pays one tunnel round-trip
 # (~20-40 ms), so longer chunks amortize it; the CLI runs the same length
-# (run.py FUSED_CHUNK). Override: python bench.py chunk=40
-CHUNK = int(__import__("os").environ.get("RIFT_TPU_BENCH_CHUNK", "20"))
+# (run.py FUSED_CHUNK). K=40 measured ~0.5 ms/tick under K=20 (r5).
+CHUNK = int(__import__("os").environ.get("RIFT_TPU_BENCH_CHUNK", "40"))
 
 
 def _require_device(timeout_s: float = 180.0):

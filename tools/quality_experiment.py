@@ -273,6 +273,7 @@ def write_results_md(args, merged, eval_dir):
         "pretrained-on-1M-nuPlan planners inside CARLA towns; this table is",
         "bootstrap-pretrained inside the TPU world model.",
     ]
+    md += paired_delta_section(os.path.join(eval_dir, "eval"))
     with open(os.path.join(res_dir, "RESULTS.md"), "w") as f:
         f.write("\n".join(md) + "\n")
     shutil.copy(
@@ -287,6 +288,59 @@ def write_results_md(args, merged, eval_dir):
         if os.path.exists(src):
             shutil.copy(src, os.path.join(raw_dir, f"{tag}.json"))
     print(f"wrote {res_dir}/RESULTS.md (+ merged.json, runs/)")
+
+
+def paired_delta_section(base: str) -> list[str]:
+    """Per-route PAIRED driving-score deltas between key method pairs
+    (VERDICT r4 item 3): two methods' eval runs at the same seed sample
+    the same routes, so differencing per (seed, route_id, index) removes
+    the large between-route variance that swamps the 3-seed mean+-std."""
+    import math
+
+    def load(cbv, seed):
+        p = os.path.join(
+            base, f"pdm_lite-{cbv}-seed{seed}", "simulation_results.json"
+        )
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return {
+                (r["route_id"], r["index"]): r["driving_score"]
+                for r in json.load(f).get("records", [])
+            }
+
+    out = ["", "## Paired per-route driving-score deltas", "",
+           "| pair | n routes | mean Δ DS | std Δ | sem | mean/sem |",
+           "|---|---|---|---|---|---|"]
+    pairs = [
+        ("rift_pluto", "pluto"), ("rift_pluto", "grpo_pluto"),
+        ("grpo_pluto", "pluto"),
+    ]
+    for a, b in pairs:
+        deltas = []
+        for seed in range(8):
+            ra, rb = load(a, seed), load(b, seed)
+            if not ra or not rb:
+                continue
+            for key in ra.keys() & rb.keys():
+                deltas.append(ra[key] - rb[key])
+        if len(deltas) < 2:
+            out.append(f"| {a} − {b} | <2 | n/a | n/a | n/a | n/a |")
+            continue
+        n = len(deltas)
+        mean = sum(deltas) / n
+        var = sum((d - mean) ** 2 for d in deltas) / (n - 1)
+        std = math.sqrt(var)
+        sem = std / math.sqrt(n)
+        ratio = mean / sem if sem > 0 else float("inf")
+        out.append(
+            f"| {a} − {b} | {n} | {mean:+.2f} | {std:.2f} | {sem:.2f} "
+            f"| {ratio:+.1f} |"
+        )
+    out += ["",
+            "mean/sem >= ~2 reads as a separable gap at this sample size; "
+            "below that the ordering is directional only."]
+    return out
 
 
 if __name__ == "__main__":
