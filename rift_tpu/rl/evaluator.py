@@ -459,17 +459,27 @@ def grpo_advantage_batched(
         partial(forecast_neighbors, num_frames=num_frames)
     )(nbr_pos, nbr_heading, nbr_speed, nbr_control, nbr_shape, nbr_valid)
 
-    # 5. collision matrix [B, G, Tr]
+    # 5. collision matrix [B, G, Tr]. The (N, Tr) axes are flattened so
+    #    the elementwise SAT runs on a [B, G, N*Tr] layout: Tr=40 as the
+    #    minor dim pads to 128 lanes (3.2x wasted VPU work); N*Tr=320
+    #    pads to 384 (1.2x).
+    N = nb_center.shape[1]
+    NT = N * num_frames
+    flat = lambda x: jnp.broadcast_to(
+        x, (B, G, N, num_frames) + x.shape[4:]
+    ).reshape((B, G, NT) + x.shape[4:])
     hit = obb_overlap(
-        roll_pos[:, :, None],  # [B, G, 1, Tr, 2]
-        roll_heading[:, :, None],
-        jnp.broadcast_to(
-            center_shape[:, None, None, None], (B, G, 1, num_frames, 2)
+        flat(roll_pos[:, :, None]),  # [B, G, N*Tr, 2]
+        flat(roll_heading[:, :, None]),
+        flat(
+            jnp.broadcast_to(
+                center_shape[:, None, None, None], (B, G, 1, num_frames, 2)
+            )
         ),
-        nb_center[:, None],  # [B, 1, N, Tr, 2]
-        nb_heading[:, None],
-        nb_shape[:, None],
-    )  # [B, G, N, Tr]
+        flat(nb_center[:, None]),
+        flat(nb_heading[:, None]),
+        flat(nb_shape[:, None]),
+    ).reshape(B, G, N, num_frames)
     hit &= nb_valid[:, None, :, None]
     collision = hit.any(axis=2)  # [B, G, Tr]
 
