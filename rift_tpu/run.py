@@ -373,6 +373,15 @@ def collect_episode(env, ego, cbv, state, crit, spec, max_ticks, buffer):
 
 # ---------------------------------------------------------------------------
 def main(argv=None):
+    if os.environ.get("RIFT_TPU_FORCE_CPU") == "1":
+        # subprocess CPU mode (ego_zoo --cpu smoke runs): must land before
+        # any backend initialises; assert like ego_zoo's in-process check
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+        assert _jax.default_backend() == "cpu", (
+            "RIFT_TPU_FORCE_CPU=1 but a non-CPU backend already initialised"
+        )
     p = argparse.ArgumentParser("rift_tpu")
     p.add_argument("--mode", default="eval",
                    choices=["train_cbv", "train_ego", "eval", "collect_data"])

@@ -39,14 +39,22 @@ ROUTES_XML = (
 E2E_EGOS = ["vad", "uniad", "sparsedrive"]
 
 
-def run_cli(argv: list[str]):
-    from rift_tpu.run import main
+def run_cli(argv: list[str], cpu: bool = False):
+    """Fresh subprocess per rift_tpu.run (see quality_experiment.run_cli:
+    in-process chaining corrupted late eval rows in round 5)."""
+    import subprocess
 
     print(f"\n=== rift_tpu.run {' '.join(argv)}", flush=True)
     t0 = time.time()
-    out = main(argv)
+    env = dict(os.environ)
+    if cpu:
+        env["RIFT_TPU_FORCE_CPU"] = "1"
+    r = subprocess.run(
+        [sys.executable, "-m", "rift_tpu.run", *argv], cwd=ROOT, env=env
+    )
+    if r.returncode != 0:
+        raise RuntimeError(f"rift_tpu.run failed rc={r.returncode}")
     print(f"=== done in {time.time() - t0:.0f}s", flush=True)
-    return out
 
 
 def main():
@@ -107,14 +115,15 @@ def main():
     h5 = os.path.join(args.out, "collect", "collect_data",
                       "pdm_lite-standard-seed0", "pdm_lite_standard.hdf5")
     if not os.path.exists(h5):
-        h5 = run_cli([
+        run_cli([
             "--mode", "collect_data", "--ego_cfg", "pdm_lite",
             "--cbv_cfg", "standard",
             "--num_episodes", str(args.collect_episodes),
             "--max_ticks", str(args.train_ticks),
             "--out_dir", os.path.join(args.out, "collect"),
             *common,
-        ])
+        ], cpu=args.cpu)
+        assert os.path.exists(h5), f"collect did not produce {h5}"
     else:
         print(f"stage 1: reusing {h5}")
 
@@ -144,7 +153,7 @@ def main():
             "--max_ticks", str(args.train_ticks),
             "--out_dir", os.path.join(args.out, "bc"),
             *common,
-        ])
+        ], cpu=args.cpu)
         src = os.path.join(args.out, "bc", "train_ego",
                            f"{ego}-standard-seed0", "model_ckpt",
                            f"{ego}_bc.npz")
@@ -199,7 +208,7 @@ def main():
                 argv += ["--ego_weights", weights]
             if cbv_npz:
                 argv += ["--pretrain", cbv_npz]
-            run_cli(argv)
+            run_cli(argv, cpu=args.cpu)
 
     # ------------- stage 5: merge + RESULTS.md -------------------------------
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -55,13 +55,25 @@ SEEDS = [0, 1, 2]
 
 
 def run_cli(argv: list[str]):
-    from rift_tpu.run import main
+    """Each rift_tpu.run invocation runs in a FRESH subprocess.
+
+    Round-5 finding: chaining main() calls in one process produced
+    corrupted eval rows late in the chain (driving scores collapsing to
+    ~0 via outside-lane accounting on runs that are clean when executed
+    in a fresh process) — cross-run in-process state is not trustworthy
+    over a 40-run campaign. A subprocess per run also mirrors the
+    reference's one-process-per-run.py execution model; the persistent
+    XLA compile cache keeps the re-import cost to seconds."""
+    import subprocess
 
     print(f"\n=== rift_tpu.run {' '.join(argv)}", flush=True)
     t0 = time.time()
-    out = main(argv)
+    r = subprocess.run(
+        [sys.executable, "-m", "rift_tpu.run", *argv], cwd=ROOT
+    )
+    if r.returncode != 0:
+        raise RuntimeError(f"rift_tpu.run failed rc={r.returncode}")
     print(f"=== done in {time.time() - t0:.0f}s", flush=True)
-    return out
 
 
 def main():
@@ -86,7 +98,10 @@ def main():
     p.add_argument("--pretrain_episodes", type=int, default=16)
     p.add_argument("--finetune_episodes", type=int, default=16)
     p.add_argument("--train_ticks", type=int, default=300)
-    p.add_argument("--eval_ticks", type=int, default=600)
+    # 1200 covers the loader's long episode-3/4 chained routes (up to
+    # ~570 m); the fused runner exits early when every scenario is done,
+    # so short routes pay nothing (run.py:150)
+    p.add_argument("--eval_ticks", type=int, default=1200)
     p.add_argument("--eval_episodes", type=int, default=4)
     p.add_argument("--methods", default=",".join(METHODS))
     p.add_argument("--seeds", default=",".join(map(str, SEEDS)))
