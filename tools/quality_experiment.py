@@ -288,6 +288,7 @@ def write_results_md(args, merged, eval_dir):
         "pretrained-on-1M-nuPlan planners inside CARLA towns; this table is",
         "bootstrap-pretrained inside the TPU world model.",
     ]
+    md += subset_section(os.path.join(eval_dir, "eval"), order)
     md += paired_delta_section(os.path.join(eval_dir, "eval"))
     with open(os.path.join(res_dir, "RESULTS.md"), "w") as f:
         f.write("\n".join(md) + "\n")
@@ -303,6 +304,63 @@ def write_results_md(args, merged, eval_dir):
         if os.path.exists(src):
             shutil.copy(src, os.path.join(raw_dir, f"{tag}.json"))
     print(f"wrote {res_dir}/RESULTS.md (+ merged.json, runs/)")
+
+
+def subset_section(base: str, order: list[str]) -> list[str]:
+    """Secondary table over the SHORT-ROUTE subset (record indices 0-9 =
+    the two dev10-length episodes, the r4-comparable protocol). The full
+    table's episodes 3-4 chain routes through multiple junctions where
+    background-traffic queues block the ego regardless of CBV method —
+    that headroom is a sim-realism gap (VERDICT r4 weak #8), not a CBV
+    effect, so the subset shows method quality without it."""
+    import math
+
+    out = ["", "## Short-route subset (record indices 0-9; r4-comparable)",
+           "",
+           "| CBV method | DS ↑ | RC ↑ | EBR ↓ | RP ↑ |",
+           "|---|---|---|---|---|"]
+    for cbv in order:
+        per_seed = {"ds": [], "rc": [], "ebr": [], "rp": []}
+        for seed in range(8):
+            p = os.path.join(
+                base, f"pdm_lite-{cbv}-seed{seed}",
+                "simulation_results.json",
+            )
+            if not os.path.exists(p):
+                continue
+            with open(p) as f:
+                recs = [
+                    r for r in json.load(f).get("records", [])
+                    if r["index"] < 10
+                ]
+            if not recs:
+                continue
+            n = len(recs)
+            per_seed["ds"].append(sum(r["driving_score"] for r in recs) / n)
+            per_seed["rc"].append(
+                sum(r["route_completion"] for r in recs) / n
+            )
+            per_seed["ebr"].append(
+                100.0 * sum(bool(r["blocked"]) for r in recs) / n
+            )
+            per_seed["rp"].append(
+                sum(r.get("cbv_progress", 0.0) for r in recs) / n
+            )
+        if not per_seed["ds"]:
+            continue
+        def ms(v):
+            m = sum(v) / len(v)
+            s = (
+                math.sqrt(sum((x - m) ** 2 for x in v) / (len(v) - 1))
+                if len(v) > 1 else 0.0
+            )
+            return f"{m:.2f} ± {s:.2f}"
+        name = "**RIFT (ours)**" if cbv == "rift_pluto" else cbv
+        out.append(
+            f"| {name} | {ms(per_seed['ds'])} | {ms(per_seed['rc'])} "
+            f"| {ms(per_seed['ebr'])} | {ms(per_seed['rp'])} |"
+        )
+    return out
 
 
 def paired_delta_section(base: str) -> list[str]:
